@@ -1,0 +1,272 @@
+"""Secret-shared linear algebra for eigendecomposition.
+
+Re-implementation of the reference's Householder / QRFactSquare / Tridiag /
+EigenDecomp / SortRowsDescend / matrix inverses (mpc/mpc.go:2276-2636,
+2793-2888).  Matrices are digit arrays [r, c, nlimb]; these routines are only
+used on small (kp x kp) matrices, so round count dominates and the structure
+follows the reference exactly (including its use of the *field* comparison
+path inside the eigen solver, mpc/mpc.go:2310, 2804).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .mpc import MPC
+
+
+def _bc(ring, const_digits, shape):
+    return jnp.broadcast_to(const_digits, tuple(shape) + (ring.nlimb,))
+
+
+def ss_mult_vec_scalar(mpc: MPC, d, scalar):
+    """Vector times secret scalar (SSMultElemVecScalar, mpc/ss.go:28-36)."""
+    ring = mpc.ring
+    dr, dm = mpc.beaver_partition(d)
+    sr, sm = mpc.beaver_partition(scalar)
+    out = mpc.beaver_mult_elem(dr, dm, sr[None], sm[None])
+    return mpc.beaver_reconstruct(out)
+
+
+def householder(mpc: MPC, x):
+    """Householder vector of a shared vector (mpc/mpc.go:2276-2324)."""
+    ring = mpc.ring
+    kb, fb = mpc.data_bits, mpc.frac_bits
+    is_binary = mpc.boolean_shares
+
+    xr, xm = mpc.beaver_partition(x)
+    z = mpc.beaver_mult_elem(xr, xm, xr, xm)
+    xdot = ring.sum(z, axis=0)[None]  # [1, L]
+    xdot = mpc.beaver_reconstruct(xdot)
+    xdot = mpc.trunc(xdot, kb, fb)
+
+    xnorm, _ = mpc.sqrt_and_sqrt_inverse(xdot, is_binary)
+
+    x1sign = mpc.is_positive(x[0:1], is_binary)
+    x1sign = ring.mul_int(x1sign, 2)
+    if mpc.pid == mpc.hub_pid:
+        x1sign = ring.sub(x1sign, _bc(ring, ring.const(1), (1,)))
+
+    shift = mpc.ss_mult_elem(xnorm, x1sign)  # [1, L]
+
+    sr, sm = mpc.beaver_partition(shift)
+    dot_shift = mpc.beaver_mult_elem(xr[0:1], xm[0:1], sr, sm)
+    dot_shift = mpc.beaver_reconstruct(dot_shift)
+    dot_shift = mpc.trunc(dot_shift, kb, fb)
+
+    vdot = ring.mul_int(ring.add(xdot, dot_shift), 2)
+
+    _, vnorm_inv = mpc.sqrt_and_sqrt_inverse(vdot, False)
+
+    invr, invm = mpc.beaver_partition(vnorm_inv)
+    vr = xr.at[0].set(ring.add(xr[0], sr[0]))
+    vm = xm.at[0].set(ring.add(xm[0], sm[0]))
+    v = mpc.beaver_mult_elem(vr, vm, invr, invm)
+    v = mpc.beaver_reconstruct(v)
+    return mpc.trunc(v, kb, fb)
+
+
+def qr_fact_square(mpc: MPC, A):
+    """QR of a square shared matrix via repeated Householder reflections
+    (mpc/mpc.go:2326-2409)."""
+    ring = mpc.ring
+    kb, fb = mpc.data_bits, mpc.frac_bits
+    pid = mpc.pid
+    n = A.shape[0]
+    one = ring.const(1 << fb)
+
+    R_ = ring.zeros((n, n))
+    Q = None
+    Ap = A
+
+    for i in range(n - 1):
+        v = householder(mpc, Ap[0])[None]  # [1, m]
+        vt = jnp.swapaxes(v, 0, 1)  # [m, 1]
+
+        P = mpc.ss_mult_mat(vt, v)
+        P = mpc.trunc(P, kb, fb)
+        if pid > 0:
+            P = ring.mul_int(P, -2)
+            if pid == mpc.hub_pid:
+                m = P.shape[0]
+                diag = jnp.arange(m)
+                P = P.at[diag, diag].set(ring.add(P[diag, diag], _bc(ring, one, (m,))))
+
+        if i == 0:
+            Q = P
+            B = mpc.ss_mult_mat(Ap, P)
+            B = mpc.trunc(B, kb, fb)
+        else:
+            Qsub = Q[i:] if pid > 0 else ring.zeros((n - i, n))
+            r0 = mpc.ss_mult_mat(P, Qsub)
+            r1 = mpc.ss_mult_mat(Ap, P)
+            r0 = mpc.trunc(r0, kb, fb)
+            r1 = mpc.trunc(r1, kb, fb)
+            if pid > 0:
+                Q = Q.at[i:].set(r0)
+            B = r1
+
+        if pid > 0:
+            R_ = R_.at[i : n, i].set(B[: n - i, 0])
+            if i == n - 2:
+                R_ = R_.at[n - 1, n - 1].set(B[1, 1])
+
+        Ap = B[1:, 1:] if pid > 0 else ring.zeros((n - i - 1, n - i - 1))
+    return Q, R_
+
+
+def tridiag(mpc: MPC, A):
+    """Symmetric tridiagonalization (mpc/mpc.go:2411-2513)."""
+    ring = mpc.ring
+    kb, fb = mpc.data_bits, mpc.frac_bits
+    pid = mpc.pid
+    n = A.shape[0]
+    one = ring.const(1 << fb)
+
+    T = ring.zeros((n, n))
+    Q = ring.zeros((n, n))
+    if pid == mpc.hub_pid:
+        diag = jnp.arange(n)
+        Q = Q.at[diag, diag].set(_bc(ring, one, (n,)))
+
+    Ap = A
+    for i in range(n - 2):
+        m = Ap.shape[0]
+        x = Ap[0, 1:] if pid > 0 else ring.zeros((m - 1,))
+
+        v = householder(mpc, x)[None]  # [1, m-1]
+        vt = jnp.swapaxes(v, 0, 1)
+        vv = mpc.ss_mult_mat(vt, v)
+        vv = mpc.trunc(vv, kb, fb)
+
+        P = ring.zeros((m, m))
+        if pid > 0:
+            body = ring.mul_int(vv, -2)
+            if pid == mpc.hub_pid:
+                dg = jnp.arange(m - 1)
+                body = body.at[dg, dg].set(
+                    ring.add(body[dg, dg], _bc(ring, one, (m - 1,)))
+                )
+                P = P.at[0, 0].set(one)
+            P = P.at[1:, 1:].set(body)
+
+        PAp = mpc.ss_mult_mat(P, Ap)
+        PAp = mpc.trunc(PAp, kb, fb)
+        B = mpc.ss_mult_mat(PAp, P)
+        B = mpc.trunc(B, kb, fb)
+
+        Qsub = Q[:, i:] if pid > 0 else ring.zeros((n, n - i))
+        Qsub = mpc.ss_mult_mat(Qsub, P)
+        Qsub = mpc.trunc(Qsub, kb, fb)
+        if pid > 0:
+            Q = Q.at[:, i:].set(Qsub)
+
+        if pid > 0:
+            T = T.at[i, i].set(B[0, 0])
+            T = T.at[i + 1, i].set(B[1, 0])
+            T = T.at[i, i + 1].set(B[0, 1])
+            if i == n - 3:
+                T = T.at[i + 1, i + 1].set(B[1, 1])
+                T = T.at[i + 1, i + 2].set(B[1, 2])
+                T = T.at[i + 2, i + 1].set(B[2, 1])
+                T = T.at[i + 2, i + 2].set(B[2, 2])
+
+        Ap = B[1:, 1:] if pid > 0 else ring.zeros((m - 1, m - 1))
+    return T, Q
+
+
+def eigen_decomp(mpc: MPC, A, iter_per_eval: int = 5):
+    """Shifted-QR eigendecomposition with deflation (mpc/mpc.go:2554-2636).
+    Returns (V [n, n], L [n]): rows of V are eigenvectors."""
+    ring = mpc.ring
+    kb, fb = mpc.data_bits, mpc.frac_bits
+    pid = mpc.pid
+    n = A.shape[0]
+    Lout = ring.zeros((n,))
+
+    Ap, Q = tridiag(mpc, A)
+    V = jnp.swapaxes(Q, 0, 1) if pid != 0 else ring.zeros((n, n))
+
+    for i in range(n - 1, 0, -1):
+        for _ in range(iter_per_eval):
+            shift = Ap[i, i]
+            if pid > 0:
+                diag = jnp.arange(Ap.shape[0])
+                Ap = Ap.at[diag, diag].set(ring.sub(Ap[diag, diag], shift[None]))
+
+            Qi, Ri = qr_fact_square(mpc, Ap)
+            Ap = mpc.ss_mult_mat(Qi, Ri)
+            Ap = mpc.trunc(Ap, kb, fb)
+
+            if pid > 0:
+                diag = jnp.arange(Ap.shape[0])
+                Ap = Ap.at[diag, diag].set(ring.add(Ap[diag, diag], shift[None]))
+
+            Vsub = V[: i + 1] if pid > 0 else ring.zeros((i + 1, n))
+            Vsub = mpc.ss_mult_mat(Qi, Vsub)
+            Vsub = mpc.trunc(Vsub, kb, fb)
+            if pid > 0:
+                V = V.at[: i + 1].set(Vsub)
+
+        Lout = Lout.at[i].set(Ap[i, i])
+        if i == 1:
+            Lout = Lout.at[0].set(Ap[0, 0])
+        Ap = Ap[:i, :i]
+    return V, Lout
+
+
+def swap(mpc: MPC, v1, v2, is_flip):
+    """Oblivious swap (mpc/mpc.go:2515-2532)."""
+    ring = mpc.ring
+    d = ring.sub(v2, v1)
+    m = ss_mult_vec_scalar(mpc, d, is_flip)
+    return ring.add(v1, m), ring.sub(v2, m)
+
+
+def sort_rows_descend(mpc: MPC, A, w):
+    """Oblivious bubble sort of rows of A by w, descending
+    (mpc/mpc.go:2534-2552)."""
+    ring = mpc.ring
+    A = A
+    w = w
+    n = A.shape[0]
+    for i in range(n - 1):
+        for j in range(n - 1, i, -1):
+            diff = ring.sub(w[j], w[j - 1])[None]
+            is_flip = mpc.is_positive(diff, mpc.boolean_shares)[0]
+            a_j, a_jm1 = swap(mpc, A[j], A[j - 1], is_flip)
+            A = A.at[j].set(a_j).at[j - 1].set(a_jm1)
+            w_j, w_jm1 = swap(mpc, w[j][None], w[j - 1][None], is_flip)
+            A = A  # keep shapes
+            w = w.at[j].set(w_j[0]).at[j - 1].set(w_jm1[0])
+    return A, w
+
+
+def matrix_inverse_sqrt_svd(mpc: MPC, A):
+    """B with B^T B = (A + A^T)^{-1} (mpc/mpc.go:2864-2888)."""
+    ring = mpc.ring
+    kb, fb = mpc.data_bits, mpc.frac_bits
+    Asym = ring.add(A, jnp.swapaxes(A, 0, 1))
+    Ut, S = eigen_decomp(mpc, Asym)
+    _, s_sqrt_inv = mpc.sqrt_and_sqrt_inverse(S, False)
+    sr, sm = mpc.beaver_partition(s_sqrt_inv)
+    ur, um = mpc.beaver_partition(Ut)
+    B = mpc.beaver_mult_elem(ur, um, sr[:, None], sm[:, None])
+    B = mpc.beaver_reconstruct(B)
+    return mpc.trunc(B, kb, fb)
+
+
+def matrix_inverse_sym_pos(mpc: MPC, A):
+    """(A^{-1}, A^{-1/2}) for symmetric PD A (mpc/mpc.go:2839-2862)."""
+    ring = mpc.ring
+    kb, fb = mpc.data_bits, mpc.frac_bits
+    Vt, L = eigen_decomp(mpc, A)
+    _, l_inv_sqrt = mpc.sqrt_and_sqrt_inverse(L, False)
+    vr, vm = mpc.beaver_partition(Vt)
+    lr, lm = mpc.beaver_partition(l_inv_sqrt)
+    AInvSqrt = mpc.beaver_mult_elem(vr, vm, lr[:, None], lm[:, None])
+    AInvSqrt = mpc.beaver_reconstruct(AInvSqrt)
+    AInvSqrt = mpc.trunc(AInvSqrt, kb, fb)
+    AInv = mpc.ss_mult_mat(jnp.swapaxes(AInvSqrt, 0, 1), AInvSqrt)
+    AInv = mpc.trunc(AInv, kb, fb)
+    return AInv, AInvSqrt

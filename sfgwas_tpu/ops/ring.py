@@ -1,0 +1,548 @@
+"""Limb-based modular ring arithmetic for the MPC secret-sharing domain.
+
+TPU-native replacement for mpc-core's ``RElem/RVec/RMat`` generic ring types
+(the reference registers LElem256/LElem128/LElem2N/SElemDS/SElemC/BElem at
+mpc/mpc.go:64-71 and selects the field at gwas/gwas.go:191-199).
+
+TPUs have no 64x64->128 multiplier (the reference's hot loop,
+gwas/matmult.go:247-324, is a Go uint128 lazy accumulator), so ring elements
+here are little-endian base-2^8 digit vectors stored in int32 arrays of shape
+``[..., nlimb]``:
+
+* digit products fit in 16 bits, length-32 convolutions stay < 2^21, and the
+  modular fold (2^256 = 189 mod p256) stays < 2^30 -- everything fits int32
+  lanes and vectorizes on the VPU / tiles onto the MXU for matmuls;
+* carries use arithmetic right shifts (floor division), which remain correct
+  for the signed intermediates produced by subtraction;
+* moduli are "delta below a power of two": p256 = 2^256 - 189 and
+  p128 = 2^127 - 1.  This is what makes the prime->power-of-two share
+  conversion trick of the binary comparison protocols work
+  (reference mpc/mpc.go:1690-1708): shares mod p, re-read mod 2^b, differ
+  from the true value only by a small multiple of delta.
+
+Element layouts:
+  scalar  -> [nlimb]
+  RVec    -> [n, nlimb]
+  RMat    -> [r, c, nlimb]
+
+All device functions take and return *canonical* digit arrays (each digit in
+[0, 255] and the value in [0, modulus)) unless noted.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DIGIT_BITS = 8
+DIGIT_MASK = (1 << DIGIT_BITS) - 1
+
+
+def _jitmethod(fn):
+    """jit with `self` (a hashable Ring) as a static argument."""
+    return functools.partial(jax.jit, static_argnums=0)(fn)
+
+
+def _jitmethod2(fn):
+    """jit with `self` and the scalar parameter static."""
+    return functools.partial(jax.jit, static_argnums=(0, 2))(fn)
+
+
+class Ring:
+    """Z_p (kind='prime') or Z_{2^bits} (kind='pow2') digit arithmetic."""
+
+    has_limbs = True
+
+    def __init__(self, modulus: int, kind: str, name: str = ""):
+        assert kind in ("prime", "pow2")
+        self.kind = kind
+        self.modulus = modulus
+        self.name = name or f"{kind}{modulus.bit_length()}"
+        self.bits = modulus.bit_length() if kind == "prime" else modulus.bit_length() - 1
+        # Number of 8-bit digits needed to cover [0, modulus)
+        self.nlimb = -(-self.bits // DIGIT_BITS)
+        cap = 1 << (DIGIT_BITS * self.nlimb)  # capacity of the digit array
+        if kind == "prime":
+            assert modulus < cap
+            self.fold_c = cap % modulus  # 2^(8*nlimb) mod p; must be small
+            assert self.fold_c < (1 << 9), "prime must be just below a power of two"
+            self.top_mask = DIGIT_MASK
+        else:
+            assert modulus <= cap
+            self.fold_c = 0
+            # bits of modulus inside the top digit (e.g. 2^127 with 16 digits)
+            top_bits = self.bits - DIGIT_BITS * (self.nlimb - 1)
+            self.top_mask = (1 << top_bits) - 1
+        self._p_digits = None
+        if kind == "prime":
+            self._p_digits = tuple(
+                (modulus >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(self.nlimb)
+            )
+        self._cache = {}
+
+    # Rings are compared by identity for jit static-arg hashing.
+    def __hash__(self):
+        return hash((self.kind, self.modulus))
+
+    def __eq__(self, other):
+        return isinstance(other, Ring) and (self.kind, self.modulus) == (
+            other.kind,
+            other.modulus,
+        )
+
+    def __repr__(self):
+        return f"Ring({self.name})"
+
+    # ------------------------------------------------------------------ host
+
+    def _int_to_digit_list(self, v: int) -> list:
+        v %= self.modulus
+        return [(v >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(self.nlimb)]
+
+    def from_ints(self, vals) -> np.ndarray:
+        """Host: array of python ints (any shape, any sign) -> digit array."""
+        arr = np.asarray(vals, dtype=object)
+        out = np.empty(arr.shape + (self.nlimb,), dtype=np.int32)
+        flat = arr.reshape(-1)
+        oflat = out.reshape(-1, self.nlimb)
+        for i, v in enumerate(flat):
+            oflat[i] = self._int_to_digit_list(int(v))
+        return out
+
+    def to_ints(self, digits) -> np.ndarray:
+        """Host: canonical digit array -> array of python ints (object dtype)."""
+        d = np.asarray(digits)
+        shape = d.shape[:-1]
+        flat = d.reshape(-1, self.nlimb)
+        out = np.empty(len(flat), dtype=object)
+        for i in range(len(flat)):
+            v = 0
+            for j in range(self.nlimb - 1, -1, -1):
+                v = (v << DIGIT_BITS) | int(flat[i, j])
+            out[i] = v
+        return out.reshape(shape) if shape else out[0]
+
+    def from_float(self, vals, frac_bits: int) -> np.ndarray:
+        """Host: fixed-point encode floats (round(v * 2^frac)) mod modulus."""
+        arr = np.asarray(vals, dtype=np.float64)
+        ints = np.empty(arr.shape, dtype=object)
+        it = np.nditer(arr, flags=["multi_index", "refs_ok"])
+        for x in it:
+            ints[it.multi_index] = int(round(float(x) * (1 << frac_bits)))
+        return self.from_ints(ints)
+
+    def to_float(self, digits, frac_bits: int) -> np.ndarray:
+        """Host: centered decode: values > modulus/2 are negative."""
+        ints = self.to_ints(digits)
+        half = self.modulus >> 1
+        flat = np.atleast_1d(ints).reshape(-1)
+        out = np.empty(len(flat), dtype=np.float64)
+        for i, v in enumerate(flat):
+            v = int(v)
+            if v > half:
+                v -= self.modulus
+            out[i] = v / float(1 << frac_bits)
+        shape = np.asarray(ints).shape
+        return out.reshape(shape) if shape else out[0]
+
+    def centered_ints(self, digits) -> np.ndarray:
+        ints = np.atleast_1d(self.to_ints(digits))
+        half = self.modulus >> 1
+        out = np.empty(ints.shape, dtype=object)
+        flat_in = ints.reshape(-1)
+        flat_out = out.reshape(-1)
+        for i, v in enumerate(flat_in):
+            v = int(v)
+            flat_out[i] = v - self.modulus if v > half else v
+        return out
+
+    def inv_int(self, v: int) -> int:
+        """Host: modular inverse (modulus must be prime or v odd-coprime)."""
+        return pow(int(v) % self.modulus, -1, self.modulus)
+
+    def const(self, v: int) -> jnp.ndarray:
+        """Cached device digits for a python int constant."""
+        v = int(v) % self.modulus
+        key = ("const", v)
+        if key not in self._cache:
+            self._cache[key] = jnp.asarray(self._int_to_digit_list(v), dtype=jnp.int32)
+        return self._cache[key]
+
+    # ---------------------------------------------------------------- device
+
+    def zeros(self, shape: Sequence[int]) -> jnp.ndarray:
+        return jnp.zeros(tuple(shape) + (self.nlimb,), dtype=jnp.int32)
+
+    def ones(self, shape: Sequence[int]) -> jnp.ndarray:
+        return jnp.broadcast_to(self.const(1), tuple(shape) + (self.nlimb,))
+
+    def from_i32(self, vals) -> jnp.ndarray:
+        """Device: int32 array of small nonneg values -> canonical digits."""
+        v = jnp.asarray(vals, dtype=jnp.int32)
+        digits = [(v >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(4)]
+        x = jnp.stack(digits, axis=-1)
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, self.nlimb - 4)]
+        return self.reduce(jnp.pad(x, pad))
+
+    def _exact_carry(self, x):
+        """Sequential exact carry over the digit axis; returns (digits, carry_out).
+
+        Output digits are in [0, 255]; carry_out = floor(value / 2^{8*D}),
+        which is negative for negative values."""
+        xs = jnp.moveaxis(x, -1, 0)
+
+        def step(carry, d):
+            t = d + carry
+            c = t >> DIGIT_BITS
+            return c, t - (c << DIGIT_BITS)
+
+        carry_out, ys = jax.lax.scan(step, jnp.zeros(x.shape[:-1], jnp.int32), xs)
+        return jnp.moveaxis(ys, 0, -1), carry_out
+
+    @_jitmethod
+    def reduce(self, x):
+        """Reduce any signed digit array (any digit count >= 1; |digit| and
+        all scan intermediates must fit int32) to canonical form in
+        [0, modulus).
+
+        Steps: exact carry over the (possibly extended) digit array; fold
+        extra digits via 2^{8L} = fold_c (prime) or drop them (pow2); then
+        scan/fold twice more to absorb the bounded residuals; finally a
+        conditional subtract of p (prime) or top-bit mask (pow2)."""
+        L = self.nlimb
+        if x.shape[-1] < L:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, L - x.shape[-1])])
+        # 1) exact carry on the full array -> digits in [0,255], small carry_out
+        x, c_out = self._exact_carry(x)
+        # 2) fold extra digits: digit L+i has weight 2^{8i} * 2^{8L}
+        if x.shape[-1] > L:
+            lo, hi = x[..., :L], x[..., L:]
+            nh = hi.shape[-1]
+            assert nh < L, "input too wide; reduce in chunks"
+            if self.kind == "prime":
+                contrib = jnp.pad(
+                    hi * self.fold_c, [(0, 0)] * (x.ndim - 1) + [(0, L - nh)]
+                )
+                x = lo + contrib
+                # carry_out has weight 2^{8*(L+nh)} = 2^{8*nh} * fold_c
+                x = x.at[..., nh].add(c_out * self.fold_c)
+            else:
+                x = lo
+        else:
+            if self.kind == "prime":
+                x = x.at[..., 0].add(c_out * self.fold_c)
+        # 3) two more scan+fold rounds absorb the bounded residuals exactly
+        for _ in range(2):
+            x, c_out = self._exact_carry(x)
+            if self.kind == "prime":
+                x = x.at[..., 0].add(c_out * self.fold_c)
+        x, _ = self._exact_carry(x)
+        if self.kind == "prime":
+            # value < 2^{8L}; subtract p enough times to reach [0, p)
+            for _ in range((1 << (DIGIT_BITS * L)) // self.modulus):
+                x = self._cond_sub_p(x)
+        else:
+            x = x.at[..., -1].set(x[..., -1] & self.top_mask)
+        return x
+
+    @_jitmethod
+    def _cond_sub_p(self, x):
+        """x in [0, 2^{8L}) -> subtract p if x >= p (one borrow scan)."""
+        p = jnp.asarray(self._p_digits, dtype=jnp.int32)
+        y = x - p
+        y, borrow = self._exact_carry(y)
+        ge = borrow == 0  # no final borrow => x >= p
+        return jnp.where(ge[..., None], y, x)
+
+    @_jitmethod
+    def add(self, a, b):
+        return self.reduce(a + b)
+
+    @_jitmethod
+    def sub(self, a, b):
+        return self.reduce(a - b)
+
+    @_jitmethod
+    def neg(self, a):
+        return self.reduce(-a)
+
+    @_jitmethod
+    def mul(self, a, b):
+        """Elementwise product of canonical digit arrays."""
+        L = self.nlimb
+        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        a = jnp.broadcast_to(a, shape + (L,))
+        b = jnp.broadcast_to(b, shape + (L,))
+        out = jnp.zeros(shape + (2 * L - 1,), dtype=jnp.int32)
+        # digit convolution: out[d] = sum_{i+j=d} a_i * b_j  (|.| < 2^21)
+        for j in range(L):
+            out = out.at[..., j : j + L].add(a * b[..., j : j + 1])
+        return self.reduce(out)
+
+    @_jitmethod
+    def mul_const(self, a, c_digits):
+        return self.mul(a, jnp.broadcast_to(c_digits, a.shape))
+
+    def mul_int(self, a, v: int):
+        """Multiply by a python int constant (fast path for small |v|)."""
+        v = int(v)
+        if 0 <= v < (1 << 9):
+            return self.reduce(a * v)
+        if -(1 << 9) < v < 0:
+            return self.reduce(a * v)
+        return self.mul(a, self.const(v))
+
+    @_jitmethod
+    def matmul(self, A, B):
+        """[r, k, L] x [k, c, L] -> [r, c, L] modular matrix product."""
+        L = self.nlimb
+        r, k, _ = A.shape
+        k2, c, _ = B.shape
+        assert k == k2
+        # Sum over k first per digit pair: M[d1,d2] = A[:,:,d1] @ B[:,:,d2]
+        # then combine along the convolution diagonal.  K must satisfy
+        # K * 255^2 * L < 2^31 (with margin for carries); chunk K otherwise.
+        max_k = 896
+        out = None
+        for k0 in range(0, k, max_k):
+            Ak = A[:, k0 : k0 + max_k, :]
+            Bk = B[k0 : k0 + max_k, :, :]
+            M = jnp.einsum("ika,kjb->ijab", Ak, Bk)  # [r, c, L, L] int32
+            conv = jnp.zeros((r, c, 2 * L - 1), dtype=jnp.int32)
+            for d1 in range(L):
+                conv = conv.at[..., d1 : d1 + L].add(M[..., d1, :])
+            part = self.reduce(conv)
+            out = part if out is None else self.add(out, part)
+        return out
+
+    @_jitmethod2
+    def sum(self, a, axis: int = 0):
+        """Sum of canonical elements along a batch axis."""
+        n = a.shape[axis]
+        # canonical digits <= 255; summing n of them needs n * 255 < 2^31
+        assert n < (1 << 22)
+        return self.reduce(jnp.sum(a, axis=axis))
+
+    # -------------------------------------------------------------- bit ops
+
+    @_jitmethod2
+    def get_bit(self, a, bit_index: int):
+        """Bit of the canonical value (int32 0/1)."""
+        d = bit_index // DIGIT_BITS
+        r = bit_index % DIGIT_BITS
+        return (a[..., d] >> r) & 1
+
+    @_jitmethod2
+    def bits_msb_first(self, a, nbits: int):
+        """[..., nbits] bits of the canonical value, MSB first
+        (matches reference numToBits, mpc/mpc.go:566)."""
+        outs = [self.get_bit(a, nbits - 1 - j) for j in range(nbits)]
+        return jnp.stack(outs, axis=-1)
+
+    @_jitmethod2
+    def trunc_low(self, a, m: int):
+        """Keep the low m bits of the canonical value (RVec.Trunc)."""
+        d, r = m // DIGIT_BITS, m % DIGIT_BITS
+        L = self.nlimb
+        idx = jnp.arange(L)
+        keep_full = idx < d
+        part_mask = (1 << r) - 1
+        out = jnp.where(keep_full, a, 0)
+        if r > 0 and d < L:
+            out = out.at[..., d].set(a[..., d] & part_mask)
+        return out
+
+    def pow2_digits(self, e: int) -> jnp.ndarray:
+        return self.const(pow(2, e, self.modulus))
+
+    def inv_pow2_digits(self, m: int) -> jnp.ndarray:
+        """Digits of 2^{-m} mod p (prime only); cached like invPowCache."""
+        assert self.kind == "prime"
+        key = ("inv2", m)
+        if key not in self._cache:
+            inv2 = pow((self.modulus + 1) // 2, m, self.modulus)
+            self._cache[key] = jnp.asarray(
+                self._int_to_digit_list(inv2), dtype=jnp.int32
+            )
+        return self._cache[key]
+
+    # ------------------------------------------------------------- sampling
+
+    def rand(self, rng: np.random.Generator, shape) -> np.ndarray:
+        """Host: uniform elements (negligible bias for p close to 2^{8L})."""
+        shape = tuple(shape)
+        raw = rng.integers(0, 256, size=shape + (self.nlimb,), dtype=np.int64)
+        return self._host_canon(raw.astype(np.int64))
+
+    def rand_bits(self, rng: np.random.Generator, shape, nbits: int) -> np.ndarray:
+        """Host: uniform in [0, 2^nbits)."""
+        shape = tuple(shape)
+        raw = rng.integers(0, 256, size=shape + (self.nlimb,), dtype=np.int64)
+        d, r = nbits // DIGIT_BITS, nbits % DIGIT_BITS
+        mask = np.zeros(self.nlimb, dtype=np.int64)
+        mask[:d] = DIGIT_MASK
+        if r > 0 and d < self.nlimb:
+            mask[d] = (1 << r) - 1
+        return (raw & mask).astype(np.int32)
+
+    def _host_canon(self, x: np.ndarray) -> np.ndarray:
+        """Host-side canonicalization (numpy int64, exact)."""
+        L = self.nlimb
+        x = x.astype(np.int64)
+        for _ in range(2):
+            c = x >> DIGIT_BITS
+            x = x - (c << DIGIT_BITS)
+            x[..., 1:] += c[..., :-1]
+            if self.kind == "prime":
+                x[..., 0] += c[..., -1] * self.fold_c
+            # pow2: drop
+        # exact pass
+        carry = np.zeros(x.shape[:-1], dtype=np.int64)
+        for j in range(L):
+            t = x[..., j] + carry
+            carry = t >> DIGIT_BITS
+            x[..., j] = t - (carry << DIGIT_BITS)
+        if self.kind == "prime":
+            x[..., 0] += carry * self.fold_c
+            carry = np.zeros(x.shape[:-1], dtype=np.int64)
+            for j in range(L):
+                t = x[..., j] + carry
+                carry = t >> DIGIT_BITS
+                x[..., j] = t - (carry << DIGIT_BITS)
+            # conditional subtract p
+            p = np.array(self._p_digits, dtype=np.int64)
+            y = x - p
+            borrow = np.zeros(x.shape[:-1], dtype=np.int64)
+            for j in range(L):
+                t = y[..., j] + borrow
+                borrow = t >> DIGIT_BITS
+                y[..., j] = t - (borrow << DIGIT_BITS)
+            ge = borrow == 0
+            x = np.where(ge[..., None], y, x)
+        else:
+            x[..., -1] &= self.top_mask
+        return x.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Shared ring instances
+
+P256 = (1 << 256) - 189  # largest prime below 2^256
+P127 = (1 << 127) - 1  # Mersenne prime
+
+LElem256 = Ring(P256, "prime", "LElem256")
+LElem128 = Ring(P127, "prime", "LElem128")
+LElem2N256 = Ring(1 << 256, "pow2", "LElem2N256")
+LElem2N127 = Ring(1 << 127, "pow2", "LElem2N127")
+
+
+def field_for_size(field_size: int) -> Ring:
+    """Map config mpc_field_size to a prime field (gwas/gwas.go:192-199)."""
+    if field_size == 256:
+        return LElem256
+    if field_size == 128:
+        return LElem128
+    raise ValueError(f"unsupported mpc_field_size {field_size}")
+
+
+def pow2_ring_for(field: Ring) -> Ring:
+    """The power-of-two companion ring used by the binary-share comparison
+    protocols (reference mpc/mpc.go:1682-1688)."""
+    if field is LElem256:
+        return LElem2N256
+    if field is LElem128:
+        return LElem2N127
+    raise ValueError("no pow2 companion for ring")
+
+
+class SmallField:
+    """Small prime field for bit-share protocols (SElemDS/SElemC analogue).
+
+    p = 46337 is the largest prime with p^2 < 2^31, so products of canonical
+    elements fit int32 and we reduce after every multiply."""
+
+    has_limbs = False
+
+    def __init__(self, p: int = 46337):
+        self.modulus = p
+
+    def __hash__(self):
+        return hash(("small", self.modulus))
+
+    def __eq__(self, other):
+        return isinstance(other, SmallField) and other.modulus == self.modulus
+
+    def zeros(self, shape):
+        return jnp.zeros(shape, dtype=jnp.int32)
+
+    def add(self, a, b):
+        return (a + b) % self.modulus
+
+    def sub(self, a, b):
+        return (a - b) % self.modulus
+
+    def neg(self, a):
+        return (-a) % self.modulus
+
+    def mul(self, a, b):
+        return (a * b) % self.modulus
+
+    def matmul(self, A, B):
+        """Accumulate with a mod after each rank-1 update (int32-safe)."""
+        out = jnp.zeros((A.shape[0], B.shape[1]), dtype=jnp.int32)
+        for k in range(A.shape[1]):
+            out = (out + A[:, k : k + 1] * B[k : k + 1, :]) % self.modulus
+        return out
+
+    def inv_int(self, v: int) -> int:
+        return pow(int(v) % self.modulus, -1, self.modulus)
+
+    def rand(self, rng: np.random.Generator, shape) -> np.ndarray:
+        return rng.integers(0, self.modulus, size=shape, dtype=np.int64).astype(
+            np.int32
+        )
+
+
+SElem = SmallField()
+
+
+class GF2Ring:
+    """GF(2) bit shares, unpacked: int8 arrays of 0/1 (BElem analogue).
+
+    The reference packs 64 bits per uint64 word and manipulates them with
+    shift tricks (mpc/mpc.go:1161-1671); here bits are unpacked int8 lanes --
+    trivially vectorizable on the VPU -- and the log-depth carry/prefix
+    networks are expressed as shifted-array Beaver ANDs instead."""
+
+    has_limbs = False
+    modulus = 2
+
+    def __hash__(self):
+        return hash("gf2")
+
+    def __eq__(self, other):
+        return isinstance(other, GF2Ring)
+
+    def zeros(self, shape):
+        return jnp.zeros(shape, dtype=jnp.int8)
+
+    def add(self, a, b):
+        return jnp.bitwise_xor(a, b)
+
+    sub = add
+
+    def neg(self, a):
+        return a
+
+    def mul(self, a, b):
+        return jnp.bitwise_and(a, b)
+
+    def rand(self, rng: np.random.Generator, shape) -> np.ndarray:
+        return rng.integers(0, 2, size=shape, dtype=np.int8)
+
+
+GF2 = GF2Ring()

@@ -1,0 +1,99 @@
+"""Single-host multi-party simulation.
+
+The reference simulates N parties as N OS processes on localhost TCP
+(run_example.sh).  Here parties run as threads over an in-process queue mesh
+(parallel/transport.LocalCluster); the same protocol code runs unmodified
+over TCP for real multi-host deployments.
+"""
+
+from __future__ import annotations
+
+import threading
+import traceback
+from typing import Callable, List, Optional
+
+from ..ops import ring as R
+from ..mpc.mpc import MPC
+from ..mpc.prg import Random
+from .transport import LocalCluster, Network
+
+
+def run_parties(
+    nparty: int,
+    fn: Callable[[MPC], object],
+    ring: R.Ring = R.LElem256,
+    data_bits: int = 60,
+    frac_bits: int = 30,
+    boolean_shares: bool = True,
+    hub_pid: int = 1,
+    div_sqrt_max_len: int = 1_000_000,
+) -> List[object]:
+    """Run fn(mpc) on every party (0 = dealer) in threads; returns results
+    indexed by pid.  Re-raises the first party exception."""
+    cluster = LocalCluster(nparty)
+    results: List[object] = [None] * nparty
+    errors: List[Optional[BaseException]] = [None] * nparty
+
+    def work(pid: int):
+        try:
+            rand = Random(pid, nparty)
+            net = Network(cluster.transport(pid), pid, nparty, hub_pid, rand)
+            mpc = MPC(
+                net,
+                ring,
+                data_bits,
+                frac_bits,
+                boolean_shares,
+                div_sqrt_max_len,
+            )
+            results[pid] = fn(mpc)
+        except BaseException as e:  # noqa: BLE001
+            traceback.print_exc()
+            errors[pid] = e
+
+    threads = [threading.Thread(target=work, args=(p,), daemon=True) for p in range(nparty)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=1800)
+    for e in errors:
+        if e is not None:
+            raise e
+    return results
+
+
+def make_shares(mpc: MPC, vals, ring=None):
+    """Test helper: deterministic (non-secret) sharing of known values.
+    All parties derive the same 'random' shares from the global PRG; party 1
+    holds the correcting share; the dealer holds zeros."""
+    ring = ring or mpc.ring
+    import numpy as np
+
+    vals = list(vals)
+    n = len(vals)
+    with mpc.rand.using(-1) as g:
+        others = [ring.rand(g, (n,)) for _ in range(max(0, mpc.nparty - 2))]
+    if mpc.pid == 0:
+        return ring.zeros((n,))
+    if mpc.pid == 1:
+        total = ring.from_ints(vals) if hasattr(ring, "from_ints") else np.asarray(
+            vals, dtype=np.int32
+        )
+        out = total
+        for s in others:
+            out = ring.sub(out, s)
+        return out
+    return others[mpc.pid - 2]
+
+
+def reveal_ints(mpc: MPC, shares, ring=None):
+    """Test helper: reveal and decode to python ints (data parties only)."""
+    ring = ring or mpc.ring
+    rev = mpc.reveal_sym(shares, ring)
+    if mpc.pid == 0:
+        return None
+    if hasattr(ring, "to_ints"):
+        return ring.to_ints(rev)
+    import numpy as np
+
+    return np.asarray(rev)

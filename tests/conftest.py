@@ -1,0 +1,25 @@
+import os
+
+# Run all tests on a virtual multi-device CPU mesh; the real TPU chip is
+# reserved for bench.py.  The container's sitecustomize registers the axon
+# TPU plugin before any test code runs (and JAX_PLATFORMS=axon is in the
+# environment), so a plain env override is not enough -- force the platform
+# through jax.config before the CPU client is instantiated.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)

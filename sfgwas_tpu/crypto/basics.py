@@ -1,0 +1,301 @@
+"""CipherVector / CipherMatrix operations.
+
+Re-implementation of the reference's crypto/basics.go + crypto/crypto.go
+helper layer: batched float vectors as lists of ciphertexts (slots = N/2 per
+ciphertext), elementwise ops, log-rotation inner sums, slot masking, constant
+multiplication, level flattening.
+
+Conventions (matching the reference):
+* vectors are row-major chunks of `slots` values (crypto/crypto.go:342-373);
+* "RotateRight by r" rotates slot contents toward higher indices
+  (crypto/basics.go:212-224);
+* Mask consumes a level; InnerSumAll leaves all slots holding the total sum
+  (crypto/basics.go:278-292).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from ..mpc.mhe import CryptoParams
+from . import ckks as C
+
+CipherVector = List[C.Ciphertext]
+PlainVector = List[C.Plaintext]
+CipherMatrix = List[CipherVector]
+PlainMatrix = List[PlainVector]
+
+
+def num_ct(cps: CryptoParams, n: int) -> int:
+    return 1 + (n - 1) // cps.slots
+
+
+def encode_float_vector(cps: CryptoParams, vals, nmod: Optional[int] = None) -> PlainVector:
+    ctx = cps.ctx
+    nmod = nmod or ctx.nq
+    vals = np.asarray(vals, dtype=np.float64)
+    out = []
+    for s in range(0, max(len(vals), 1), cps.slots):
+        out.append(ctx.encode(vals[s : s + cps.slots], nmod))
+    return out
+
+
+def encrypt_float_vector(cps: CryptoParams, vals, nmod: Optional[int] = None) -> CipherVector:
+    return [
+        cps.ctx.encrypt(pt, cps.pk, cps.enc_rng)
+        for pt in encode_float_vector(cps, vals, nmod)
+    ]
+
+
+def encode_float_matrix(cps: CryptoParams, mat) -> PlainMatrix:
+    return [encode_float_vector(cps, row) for row in np.asarray(mat, np.float64)]
+
+
+def encrypt_float_matrix(cps: CryptoParams, mat) -> CipherMatrix:
+    return [encrypt_float_vector(cps, row) for row in np.asarray(mat, np.float64)]
+
+
+def encrypt_plain_vector(cps: CryptoParams, pv: PlainVector) -> CipherVector:
+    return [cps.ctx.encrypt(pt, cps.pk, cps.enc_rng) for pt in pv]
+
+
+def encrypt_plain_matrix(cps: CryptoParams, pm: PlainMatrix) -> CipherMatrix:
+    return [encrypt_plain_vector(cps, pv) for pv in pm]
+
+
+def decode_float_vector(cps: CryptoParams, pv: PlainVector) -> np.ndarray:
+    return np.concatenate([cps.ctx.decode(pt) for pt in pv])
+
+
+def czeros(cps: CryptoParams, n_ct: int) -> CipherVector:
+    return [cps.ctx.zero_ct() for _ in range(n_ct)]
+
+
+def czero_mat(cps: CryptoParams, n_ct: int, ncols: int) -> CipherMatrix:
+    return [czeros(cps, n_ct) for _ in range(ncols)]
+
+
+def cadd(cps, X: CipherVector, Y: CipherVector) -> CipherVector:
+    return [cps.ctx.add(x, y) for x, y in zip(X, Y)]
+
+
+def csub(cps, X: CipherVector, Y: CipherVector) -> CipherVector:
+    return [cps.ctx.sub(x, y) for x, y in zip(X, Y)]
+
+
+def cneg(cps, X: CipherVector) -> CipherVector:
+    return [cps.ctx.neg(x) for x in X]
+
+
+def cmult(cps, X: CipherVector, Y: CipherVector) -> CipherVector:
+    """Elementwise ct*ct with relinearization and rescale."""
+    return [cps.ctx.rescale(cps.ctx.mul_relin(x, y, cps.rlk)) for x, y in zip(X, Y)]
+
+
+def cpmult(cps, X: CipherVector, Y: PlainVector) -> CipherVector:
+    return [cps.ctx.rescale(cps.ctx.mul_plain(x, y)) for x, y in zip(X, Y)]
+
+
+def cpadd(cps, X: CipherVector, Y: PlainVector) -> CipherVector:
+    return [cps.ctx.add_plain(x, y) for x, y in zip(X, Y)]
+
+
+def cmult_const(cps, X: CipherVector, c: float, rescale: bool = True) -> CipherVector:
+    out = [cps.ctx.mul_const(x, c) for x in X]
+    if rescale:
+        out = [cps.ctx.rescale(x) for x in out]
+    return out
+
+
+def cmult_const_mat(cps, X: CipherMatrix, c: float, rescale: bool = True) -> CipherMatrix:
+    return [cmult_const(cps, row, c, rescale) for row in X]
+
+
+def cadd_const(cps, X: CipherVector, c: float) -> CipherVector:
+    return [cps.ctx.add_const(x, c) for x in X]
+
+
+def cmult_scalar(cps, X: CipherVector, ct: C.Ciphertext) -> CipherVector:
+    """Each chunk times one ciphertext (whose slots typically all hold the
+    same value) -- reference CMultScalar (crypto/basics.go:553-566)."""
+    return [cps.ctx.rescale(cps.ctx.mul_relin(x, ct, cps.rlk)) for x in X]
+
+
+def rotate_left(cps, ct: C.Ciphertext, k: int) -> C.Ciphertext:
+    return cps.ctx.rotate(ct, k % cps.slots, cps.rot_keys)
+
+
+def rotate_right(cps, ct: C.Ciphertext, k: int) -> C.Ciphertext:
+    k = k % cps.slots
+    if k == 0:
+        return ct.copy()
+    return cps.ctx.rotate(ct, cps.slots - k, cps.rot_keys)
+
+
+def rotate_and_add(cps, ct: C.Ciphertext, size: int) -> C.Ciphertext:
+    """Log-rotation accumulate (crypto/basics.go:236-246)."""
+    out = ct.copy()
+    rot = 1
+    while rot < size:
+        out = cps.ctx.add(out, rotate_left(cps, out, rot))
+        rot *= 2
+    return out
+
+
+def inner_sum_all(cps, X: CipherVector) -> C.Ciphertext:
+    acc = X[0]
+    for x in X[1:]:
+        acc = cps.ctx.add(acc, x)
+    return rotate_and_add(cps, acc, cps.slots)
+
+
+def inner_prod(cps, X: CipherVector, Y: CipherVector) -> C.Ciphertext:
+    return inner_sum_all(cps, cmult(cps, X, Y))
+
+
+def sq_sum(cps, X: CipherVector) -> C.Ciphertext:
+    return inner_prod(cps, X, X)
+
+
+def _mask_pt(cps, idx_mask: np.ndarray, nmod: int) -> C.Plaintext:
+    return cps.ctx.encode(idx_mask, nmod)
+
+
+def mask(cps, ct: C.Ciphertext, index: int, keep_rest: bool) -> Optional[C.Ciphertext]:
+    """Zero out all but slot `index` (keep_rest=False) or zero out only slot
+    `index` (True); consumes one level (crypto/basics.go:150-172)."""
+    if ct is None:
+        return None
+    m = np.zeros(cps.slots)
+    if keep_rest:
+        m[:] = 1.0
+        m[index] = 0.0
+    else:
+        m[index] = 1.0
+    return cps.ctx.rescale(cps.ctx.mul_plain(ct, _mask_pt(cps, m, ct.nmod)))
+
+
+def mask_trunc(cps, ct: C.Ciphertext, n_keep: int) -> C.Ciphertext:
+    """Keep the first n_keep slots (crypto/basics.go:110-127)."""
+    if n_keep == cps.slots:
+        return ct
+    m = np.zeros(cps.slots)
+    m[:n_keep] = 1.0
+    return cps.ctx.rescale(cps.ctx.mul_plain(ct, _mask_pt(cps, m, ct.nmod)))
+
+
+def rebalance(cps, ct: C.Ciphertext) -> Optional[C.Ciphertext]:
+    """All slots <- mean of slots (crypto/basics.go:248-255)."""
+    if ct is None:
+        return None
+    out = rotate_and_add(cps, ct, cps.slots)
+    out = cps.ctx.rescale(cps.ctx.mul_const(out, 1.0 / cps.slots))
+    return out
+
+
+def flatten_levels(cps, X: CipherMatrix):
+    """Drop all ciphertexts to the minimum level (crypto/basics.go:514-531)."""
+    nmod = min(ct.nmod for row in X for ct in row)
+    out = [[cps.ctx.drop_to(ct, nmod) for ct in row] for row in X]
+    return out, nmod
+
+
+def flatten_levels_vec(cps, X: CipherVector):
+    nmod = min(ct.nmod for ct in X)
+    return [cps.ctx.drop_to(ct, nmod) for ct in X], nmod
+
+
+def drop_level(cps, X: CipherMatrix, nmod: int) -> CipherMatrix:
+    return [[cps.ctx.drop_to(ct, min(nmod, ct.nmod)) for ct in row] for row in X]
+
+
+def concat_cipher_matrix(mats: List[CipherMatrix]) -> CipherMatrix:
+    """Concatenate along the slot/ct axis (crypto/basics.go:773-804)."""
+    mats = [m for m in mats if m]
+    if not mats:
+        return []
+    ncols = len(mats[0])
+    out = []
+    for c in range(ncols):
+        row: CipherVector = []
+        for m in mats:
+            row.extend(m[c])
+        out.append(row)
+    return out
+
+
+def global_to_party_index(cps, nrows_all: List[int], col: int, nparty: int):
+    """Map a global row index over party-partitioned rows to
+    (party, ctxt index, slot index) (crypto/basics.go:73-88)."""
+    acc = 0
+    for p in range(1, nparty):
+        if col < acc + nrows_all[p]:
+            local = col - acc
+            return p, local // cps.slots, local % cps.slots
+        acc += nrows_all[p]
+    raise IndexError(col)
+
+
+def copy_vec(X: CipherVector) -> CipherVector:
+    return [ct.copy() for ct in X]
+
+
+def copy_mat(X: CipherMatrix) -> CipherMatrix:
+    return [[ct.copy() for ct in row] for row in X]
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev approximation (reference crypto/basics.go:613-646, used by the
+# logistic path's sigmoid, mpc/mhe.go:608-677)
+
+
+def chebyshev_coeffs(fn, a: float, b: float, degree: int) -> np.ndarray:
+    """Chebyshev interpolation coefficients of fn on [a, b]."""
+    k = degree + 1
+    nodes = np.cos(np.pi * (np.arange(k) + 0.5) / k)
+    x = 0.5 * (b - a) * nodes + 0.5 * (a + b)
+    y = np.array([fn(v) for v in x])
+    coeffs = np.zeros(k)
+    for j in range(k):
+        coeffs[j] = (2.0 / k) * np.sum(y * np.cos(np.pi * j * (np.arange(k) + 0.5) / k))
+    coeffs[0] /= 2.0
+    return coeffs
+
+
+def evaluate_chebyshev(cps, ct: C.Ciphertext, coeffs: np.ndarray, a: float, b: float):
+    """Evaluate sum_j c_j T_j(y) with y = (2x - a - b)/(b - a), iteratively
+    via the T recurrence (depth ~deg; fine for moderate degrees)."""
+    ctx = cps.ctx
+    # y = 2/(b-a) x + (-a-b)/(b-a)
+    y = ctx.rescale(ctx.mul_const(ct, 2.0 / (b - a)))
+    y = ctx.add_const(y, (-a - b) / (b - a))
+    # T0 = 1 (handled as constant), T1 = y
+    acc = ctx.mul_const(y, float(coeffs[1]))
+    acc = ctx.rescale(acc)
+    acc = ctx.add_const(acc, float(coeffs[0]))
+    t_prev = None
+    t_cur = y
+    for j in range(2, len(coeffs)):
+        if t_prev is None:
+            # T2 = 2y^2 - 1
+            t_next = ctx.rescale(ctx.mul_relin(y, y, cps.rlk))
+            t_next = ctx.add_const(ctx.rescale(ctx.mul_const(t_next, 2.0)), -1.0)
+        else:
+            ty = ctx.rescale(ctx.mul_relin(t_cur, y, cps.rlk))
+            t_next = ctx.sub(
+                ctx.rescale(ctx.mul_const(ty, 2.0)), _align(ctx, t_prev, ty)
+            )
+        if abs(coeffs[j]) > 1e-12:
+            term = ctx.rescale(ctx.mul_const(t_next, float(coeffs[j])))
+            acc = ctx.add(_align(ctx, acc, term), _align(ctx, term, acc))
+        t_prev, t_cur = t_cur, t_next
+    return acc
+
+
+def _align(ctx, x: C.Ciphertext, ref: C.Ciphertext) -> C.Ciphertext:
+    if x.nmod > ref.nmod:
+        return ctx.drop_to(x, ref.nmod)
+    return x

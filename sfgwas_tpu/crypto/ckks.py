@@ -1,0 +1,511 @@
+"""RNS-CKKS scheme on TPU: encrypt/decrypt, add, mult+relin, rescale,
+rotate/conjugate via hybrid key switching.
+
+Replaces the reference's Lattigo dependency (crypto/crypto.go, crypto/basics.go
+wrap it; SURVEY.md §2.10).  Everything on-device is uint32 RNS arrays
+[nprimes, N] in the (bit-reversed) NTT domain; the special prime is the last
+row of the full basis.
+
+Key switching: alpha = 1 hybrid gadget.  With per-prime digits the gadget
+integer G_j = P*(Q/q_j)*((Q/q_j)^{-1} mod q_j) has residues [P mod q_j at row
+j, 0 elsewhere], so switching keys are
+    ksk[j] = (-a_j s + e_j + (P mod q_j) * s_src * 1_{row j},  a_j)
+over the full basis, valid at every level (each digit term is = d or 0 mod
+each active prime)."""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import rns
+from ..ops.rns import (
+    add_mod,
+    mul_mod_barrett,
+    mul_mod_shoup,
+    neg_mod,
+    ntt,
+    sub_mod,
+    _mulhi32,
+    _sel,
+)
+from .encoding import Encoder
+from .params import CkksParams
+
+
+@dataclass
+class Plaintext:
+    poly: jnp.ndarray  # [nmod, N], NTT domain
+    nmod: int
+    scale: float
+
+
+@dataclass
+class Ciphertext:
+    c0: jnp.ndarray  # [nmod, N], NTT domain
+    c1: jnp.ndarray
+    nmod: int
+    scale: float
+
+    def copy(self) -> "Ciphertext":
+        return Ciphertext(self.c0, self.c1, self.nmod, self.scale)
+
+
+@dataclass
+class SecretKey:
+    s: jnp.ndarray  # [nq+1, N] NTT domain (full basis)
+
+
+@dataclass
+class PublicKey:
+    p0: jnp.ndarray  # [nq+1, N]
+    p1: jnp.ndarray
+
+
+@dataclass
+class KSwitchKey:
+    """d0/d1: [beta, nq+1, N]; digit j covers prime j."""
+
+    d0: jnp.ndarray
+    d1: jnp.ndarray
+
+
+GALOIS_CONJ = -1  # sentinel for complex conjugation
+
+
+class CkksContext:
+    def __init__(self, params: CkksParams):
+        self.params = params
+        self.basis = params.basis
+        self.encoder = Encoder(params)
+        self.n = params.n
+        self.nq = params.nq
+        self.sp_row = params.sp_row
+        self.full_rows = tuple(range(self.nq + 1))
+        # m32 = floor(2^32 / q) for u32 Barrett of lazy sums
+        q = np.array(self.basis.primes, dtype=np.uint64)
+        self.m32 = jnp.asarray(((1 << 32) // q).astype(np.uint32))[:, None]
+        # p_special^{-1} mod q_i (+ shoup)
+        psp = self.params.special
+        pinv = np.array(
+            [pow(psp, -1, qi) for qi in self.params.q_primes], dtype=np.uint64
+        )
+        self.pinv = jnp.asarray(pinv.astype(np.uint32))[:, None]
+        self.pinv_s = jnp.asarray(
+            rns.shoup(pinv.astype(np.uint32)[:, None], q[: self.nq].astype(np.uint32)[:, None])
+        )
+        # q_top^{-1} mod q_i for rescale: host table [nq, nq]
+        self._qinv = self.basis.qinv
+        self._qmod = self.basis.qmod
+        self._exps = None  # automorphism exponent table (lazy)
+        self._perm_cache: Dict[int, jnp.ndarray] = {}
+        self._const_cache: Dict = {}
+
+    # ------------------------------------------------------------- sampling
+
+    def sample_ternary(self, rng: np.random.Generator) -> np.ndarray:
+        """Ternary secret/encryption randomness in {-1,0,1}, p=1/3 each
+        (coeff-domain small poly)."""
+        return rng.integers(-1, 2, size=self.n, dtype=np.int64)
+
+    def sample_gauss(self, rng: np.random.Generator, sigma: float = 3.19) -> np.ndarray:
+        e = np.round(rng.normal(0, sigma, size=self.n)).astype(np.int64)
+        return np.clip(e, -19, 19)
+
+    def small_to_rns(self, small: np.ndarray, rows: Tuple[int, ...]) -> jnp.ndarray:
+        """Coeff-domain small signed ints -> NTT-domain residues on rows."""
+        out = np.zeros((len(rows), self.n), dtype=np.uint32)
+        for k, r in enumerate(rows):
+            qi = self.basis.primes[r]
+            out[k] = np.mod(small, qi).astype(np.uint32)
+        return ntt(jnp.asarray(out), self.basis, rows)
+
+    def sample_uniform(self, rng: np.random.Generator, rows: Tuple[int, ...]) -> jnp.ndarray:
+        """Uniform poly on rows (already valid in any domain; used as NTT)."""
+        out = np.zeros((len(rows), self.n), dtype=np.uint32)
+        for k, r in enumerate(rows):
+            out[k] = rng.integers(0, self.basis.primes[r], size=self.n, dtype=np.int64)
+        return jnp.asarray(out)
+
+    # -------------------------------------------------------------- keygen
+
+    def gen_secret_key(self, rng: np.random.Generator) -> SecretKey:
+        return SecretKey(self.small_to_rns(self.sample_ternary(rng), self.full_rows))
+
+    def gen_public_key(self, sk: SecretKey, rng: np.random.Generator) -> PublicKey:
+        rows = self.full_rows
+        a = self.sample_uniform(rng, rows)
+        e = self.small_to_rns(self.sample_gauss(rng), rows)
+        t = _sel(self.basis, rows)
+        p0 = add_mod(
+            neg_mod(mul_mod_barrett(a, sk.s, t["q"], t["mu"]), t["q"]), e, t["q"]
+        )
+        return PublicKey(p0, a)
+
+    def gen_kswitch_key(
+        self, s_src: jnp.ndarray, sk: SecretKey, rng: np.random.Generator
+    ) -> KSwitchKey:
+        """Key switching s_src -> sk (both [nq+1, N] NTT)."""
+        rows = self.full_rows
+        t = _sel(self.basis, rows)
+        psp = self.params.special
+        d0s, d1s = [], []
+        for j in range(self.nq):
+            a = self.sample_uniform(rng, rows)
+            e = self.small_to_rns(self.sample_gauss(rng), rows)
+            k0 = add_mod(
+                neg_mod(mul_mod_barrett(a, sk.s, t["q"], t["mu"]), t["q"]), e, t["q"]
+            )
+            # + (P mod q_j) * s_src on row j only
+            pj = psp % self.params.q_primes[j]
+            term = mul_mod_shoup(
+                s_src[j : j + 1],
+                jnp.full((1, 1), pj, jnp.uint32),
+                jnp.full((1, 1), (pj << 32) // self.params.q_primes[j], jnp.uint32),
+                t["q"][j : j + 1],
+            )
+            k0 = k0.at[j].set(add_mod(k0[j], term[0], t["q"][j]))
+            d0s.append(k0)
+            d1s.append(a)
+        return KSwitchKey(jnp.stack(d0s), jnp.stack(d1s))
+
+    def gen_relin_key(self, sk: SecretKey, rng: np.random.Generator) -> KSwitchKey:
+        rows = self.full_rows
+        t = _sel(self.basis, rows)
+        s2 = mul_mod_barrett(sk.s, sk.s, t["q"], t["mu"])
+        return self.gen_kswitch_key(s2, sk, rng)
+
+    def gen_rot_key(self, sk: SecretKey, g: int, rng: np.random.Generator) -> KSwitchKey:
+        s_g = self.automorphism(sk.s, g)
+        return self.gen_kswitch_key(s_g, sk, rng)
+
+    # ---------------------------------------------------------- encode path
+
+    def encode(self, values, nmod: int, scale: Optional[float] = None) -> Plaintext:
+        scale = scale or self.params.scale
+        poly = self.encoder.encode(values, scale, nmod)
+        rows = tuple(range(nmod))
+        return Plaintext(ntt(jnp.asarray(poly), self.basis, rows), nmod, scale)
+
+    def decode(self, pt: Plaintext) -> np.ndarray:
+        rows = tuple(range(pt.nmod))
+        coeff = ntt(pt.poly, self.basis, rows, inverse=True)
+        return self.encoder.decode(np.asarray(coeff), pt.nmod, pt.scale)
+
+    # --------------------------------------------------------- encrypt path
+
+    def encrypt(self, pt: Plaintext, pk: PublicKey, rng: np.random.Generator) -> Ciphertext:
+        nmod = pt.nmod
+        rows = tuple(range(nmod))
+        t = _sel(self.basis, rows)
+        v = self.small_to_rns(self.sample_ternary(rng), rows)
+        e0 = self.small_to_rns(self.sample_gauss(rng), rows)
+        e1 = self.small_to_rns(self.sample_gauss(rng), rows)
+        c0 = add_mod(
+            add_mod(mul_mod_barrett(v, pk.p0[:nmod], t["q"], t["mu"]), e0, t["q"]),
+            pt.poly,
+            t["q"],
+        )
+        c1 = add_mod(mul_mod_barrett(v, pk.p1[:nmod], t["q"], t["mu"]), e1, t["q"])
+        return Ciphertext(c0, c1, nmod, pt.scale)
+
+    def decrypt(self, ct: Ciphertext, sk: SecretKey) -> Plaintext:
+        rows = tuple(range(ct.nmod))
+        t = _sel(self.basis, rows)
+        m = add_mod(
+            ct.c0, mul_mod_barrett(ct.c1, sk.s[: ct.nmod], t["q"], t["mu"]), t["q"]
+        )
+        return Plaintext(m, ct.nmod, ct.scale)
+
+    # ------------------------------------------------------------- levels
+
+    def drop_to(self, ct: Ciphertext, nmod: int) -> Ciphertext:
+        """Drop moduli without rescaling (level alignment)."""
+        assert nmod <= ct.nmod
+        return Ciphertext(ct.c0[:nmod], ct.c1[:nmod], nmod, ct.scale)
+
+    def _match(self, a: Ciphertext, b: Ciphertext):
+        nmod = min(a.nmod, b.nmod)
+        return self.drop_to(a, nmod), self.drop_to(b, nmod), tuple(range(nmod))
+
+    # ---------------------------------------------------------- arithmetic
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        a, b, rows = self._match(a, b)
+        assert abs(a.scale / b.scale - 1) < 1e-6, (a.scale, b.scale)
+        t = _sel(self.basis, rows)
+        return Ciphertext(
+            add_mod(a.c0, b.c0, t["q"]), add_mod(a.c1, b.c1, t["q"]), a.nmod, a.scale
+        )
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        a, b, rows = self._match(a, b)
+        assert abs(a.scale / b.scale - 1) < 1e-6
+        t = _sel(self.basis, rows)
+        return Ciphertext(
+            sub_mod(a.c0, b.c0, t["q"]), sub_mod(a.c1, b.c1, t["q"]), a.nmod, a.scale
+        )
+
+    def neg(self, a: Ciphertext) -> Ciphertext:
+        t = _sel(self.basis, tuple(range(a.nmod)))
+        return Ciphertext(neg_mod(a.c0, t["q"]), neg_mod(a.c1, t["q"]), a.nmod, a.scale)
+
+    def add_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        nmod = min(a.nmod, pt.nmod)
+        t = _sel(self.basis, tuple(range(nmod)))
+        return Ciphertext(
+            add_mod(a.c0[:nmod], pt.poly[:nmod], t["q"]), a.c1[:nmod], nmod, a.scale
+        )
+
+    def mul_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        nmod = min(a.nmod, pt.nmod)
+        t = _sel(self.basis, tuple(range(nmod)))
+        p = pt.poly[:nmod]
+        return Ciphertext(
+            mul_mod_barrett(a.c0[:nmod], p, t["q"], t["mu"]),
+            mul_mod_barrett(a.c1[:nmod], p, t["q"], t["mu"]),
+            nmod,
+            a.scale * pt.scale,
+        )
+
+    def mul_relin(self, a: Ciphertext, b: Ciphertext, rlk: KSwitchKey) -> Ciphertext:
+        a, b, rows = self._match(a, b)
+        t = _sel(self.basis, rows)
+        d0 = mul_mod_barrett(a.c0, b.c0, t["q"], t["mu"])
+        d1 = add_mod(
+            mul_mod_barrett(a.c0, b.c1, t["q"], t["mu"]),
+            mul_mod_barrett(a.c1, b.c0, t["q"], t["mu"]),
+            t["q"],
+        )
+        d2 = mul_mod_barrett(a.c1, b.c1, t["q"], t["mu"])
+        k0, k1 = self.keyswitch_core(d2, rlk, a.nmod)
+        return Ciphertext(
+            add_mod(d0, k0, t["q"]), add_mod(d1, k1, t["q"]), a.nmod, a.scale * b.scale
+        )
+
+    # ------------------------------------------------------------ rescale
+
+    def rescale_one(self, ct: Ciphertext) -> Ciphertext:
+        """Drop the top active prime, dividing the message by it."""
+        nmod = ct.nmod
+        src = nmod - 1
+        dst = tuple(range(src))
+        c0 = self._rescale_poly(ct.c0, src, dst)
+        c1 = self._rescale_poly(ct.c1, src, dst)
+        return Ciphertext(c0, c1, src, ct.scale / self.basis.primes[src])
+
+    def rescale(self, ct: Ciphertext) -> Ciphertext:
+        """One logical level = two primes (scale ~2^50)."""
+        return self.rescale_one(self.rescale_one(ct))
+
+    def _rescale_poly(self, c, src: int, dst: Tuple[int, ...]):
+        top = ntt(c[src : src + 1], self.basis, (src,), inverse=True)
+        ext = self._extend(top[0], src, dst)  # [len(dst), N] coeff
+        ext = ntt(ext, self.basis, dst)
+        t = _sel(self.basis, dst)
+        diff = sub_mod(c[: len(dst)], ext, t["q"])
+        qinv = jnp.asarray(
+            np.array([self._qinv[src, d] for d in dst], dtype=np.uint32)
+        )[:, None]
+        qinv_s = jnp.asarray(
+            np.array(
+                [
+                    (int(self._qinv[src, d]) << 32) // self.basis.primes[d]
+                    for d in dst
+                ],
+                dtype=np.uint32,
+            )
+        )[:, None]
+        return mul_mod_shoup(diff, qinv, qinv_s, t["q"])
+
+    def _extend(self, v, src: int, dst: Tuple[int, ...]):
+        """Centered base extension of coeff-domain residues v (prime src)
+        to the dst primes.  [N] -> [len(dst), N]."""
+        q_s = self.basis.primes[src]
+        half = q_s // 2
+        sign = v > jnp.uint32(half)
+        outs = []
+        for d in dst:
+            q_d = jnp.uint32(self.basis.primes[d])
+            r = v
+            r = jnp.where(r >= q_d, r - q_d, r)
+            r = jnp.where(r >= q_d, r - q_d, r)
+            corr = jnp.uint32(q_s % self.basis.primes[d])
+            r_neg = jnp.where(r >= corr, r - corr, r + q_d - corr)
+            outs.append(jnp.where(sign, r_neg, r))
+        return jnp.stack(outs)
+
+    # ---------------------------------------------------------- keyswitch
+
+    def keyswitch_core(self, d, ksk: KSwitchKey, nmod: int):
+        """Switch NTT-domain poly d [nmod, N] (a c1-part under s_src) to the
+        target key; returns (k0, k1) each [nmod, N] mod the active primes."""
+        ext_rows = tuple(range(nmod)) + (self.sp_row,)
+        d_coeff = ntt(d, self.basis, tuple(range(nmod)), inverse=True)
+        # digit j -> extended to all ext rows
+        exts = []
+        for j in range(nmod):
+            exts.append(self._extend(d_coeff[j], j, ext_rows))
+        ext = jnp.stack(exts)  # [nmod, nmod+1, N] coeff domain
+        flat_rows = ext_rows * nmod
+        ext_ntt = ntt(
+            ext.reshape(nmod * len(ext_rows), self.n), self.basis, flat_rows
+        ).reshape(nmod, len(ext_rows), self.n)
+        # gather ksk rows for active primes + special
+        idx = jnp.asarray(ext_rows)
+        k0 = ksk.d0[:nmod][:, idx, :]
+        k1 = ksk.d1[:nmod][:, idx, :]
+        t = _sel(self.basis, ext_rows)
+        p0 = mul_mod_barrett(ext_ntt, k0, t["q"][None], t["mu"][None])
+        p1 = mul_mod_barrett(ext_ntt, k1, t["q"][None], t["mu"][None])
+        # lazy sum over digits then u32 Barrett (nmod * q < 2^31)
+        acc0 = self._reduce_u32(jnp.sum(p0, axis=0, dtype=jnp.uint32), ext_rows)
+        acc1 = self._reduce_u32(jnp.sum(p1, axis=0, dtype=jnp.uint32), ext_rows)
+        return self._moddown(acc0, nmod), self._moddown(acc1, nmod)
+
+    def _reduce_u32(self, x, rows: Tuple[int, ...]):
+        m32 = self.m32[jnp.asarray(rows)]
+        q = _sel(self.basis, rows)["q"]
+        qhat = _mulhi32(x, m32)
+        r = x - qhat * q
+        r = jnp.where(r >= q, r - q, r)
+        return jnp.where(r >= q, r - q, r)
+
+    def _moddown(self, x, nmod: int):
+        """x: [nmod+1, N] over active+special (NTT) -> [nmod, N] = x/P."""
+        dst = tuple(range(nmod))
+        sp = ntt(x[nmod : nmod + 1], self.basis, (self.sp_row,), inverse=True)
+        ext = ntt(self._extend(sp[0], self.sp_row, dst), self.basis, dst)
+        t = _sel(self.basis, dst)
+        diff = sub_mod(x[:nmod], ext, t["q"])
+        return mul_mod_shoup(diff, self.pinv[:nmod], self.pinv_s[:nmod], t["q"])
+
+    # -------------------------------------------------------- automorphism
+
+    def _exps_table(self):
+        """Exponent e(k) with NTT output slot k holding a(psi^{e(k)})."""
+        if self._exps is not None:
+            return self._exps
+        q = self.basis.primes[0]
+        n = self.n
+        psi = rns._find_psi(q, 2 * n)
+        # host NTT of X^1 on prime 0 (same butterfly as device ntt)
+        x = np.zeros(n, dtype=object)
+        x[1] = 1
+        psi_rev = np.asarray(self.basis.psi_rev[0]).astype(object)
+        m = 1
+        x = x.copy()
+        while m < n:
+            half = n // (2 * m)
+            xv = x.reshape(m, 2, half)
+            S = psi_rev[m : 2 * m]
+            U = xv[:, 0, :].copy()
+            V = (xv[:, 1, :] * S[:, None]) % q
+            x = np.stack([(U + V) % q, (U - V) % q], axis=1).reshape(n)
+            m *= 2
+        dlog = {}
+        cur = 1
+        for e in range(2 * n):
+            dlog[cur] = e
+            cur = (cur * psi) % q
+        exps = np.array([dlog[int(v)] for v in x], dtype=np.int64)
+        self._exps = exps
+        return exps
+
+    def _perm_for(self, g: int) -> jnp.ndarray:
+        if g in self._perm_cache:
+            return self._perm_cache[g]
+        exps = self._exps_table()
+        two_n = 2 * self.n
+        pos_of = {int(e): i for i, e in enumerate(exps)}
+        perm = np.array(
+            [pos_of[(int(e) * g) % two_n] for e in exps], dtype=np.int32
+        )
+        out = jnp.asarray(perm)
+        self._perm_cache[g] = out
+        return out
+
+    def automorphism(self, poly, g: int):
+        """sigma_g in the NTT domain: gather along the slot axis."""
+        perm = self._perm_for(g)
+        return poly[..., perm]
+
+    def galois_for_rotation(self, k: int) -> int:
+        """Galois element for a left rotation by k slots."""
+        two_n = 2 * self.n
+        return pow(5, k % self.params.slots, two_n)
+
+    def galois_conjugate(self) -> int:
+        return 2 * self.n - 1
+
+    def rotate(self, ct: Ciphertext, k: int, rot_keys: Dict[int, KSwitchKey]) -> Ciphertext:
+        if k % self.params.slots == 0:
+            return ct.copy()
+        g = self.galois_for_rotation(k)
+        return self.apply_galois(ct, g, rot_keys[g])
+
+    def conjugate(self, ct: Ciphertext, rot_keys: Dict[int, KSwitchKey]) -> Ciphertext:
+        g = self.galois_conjugate()
+        return self.apply_galois(ct, g, rot_keys[g])
+
+    def apply_galois(self, ct: Ciphertext, g: int, key: KSwitchKey) -> Ciphertext:
+        rows = tuple(range(ct.nmod))
+        t = _sel(self.basis, rows)
+        c0g = self.automorphism(ct.c0, g)
+        c1g = self.automorphism(ct.c1, g)
+        k0, k1 = self.keyswitch_core(c1g, key, ct.nmod)
+        return Ciphertext(add_mod(c0g, k0, t["q"]), k1, ct.nmod, ct.scale)
+
+    # ------------------------------------------------------------- consts
+
+    def const_poly(self, value: float, nmod: int, scale: float) -> jnp.ndarray:
+        """Residues of round(value*scale) as [nmod, 1] (constant poly is the
+        same in coeff and NTT domain only for degree-0 ... it is: NTT of a
+        constant c is c in every slot)."""
+        c = int(round(value * scale))
+        res = np.array(
+            [c % self.basis.primes[i] for i in range(nmod)], dtype=np.uint64
+        ).astype(np.uint32)
+        return jnp.asarray(res)[:, None]
+
+    def mul_const(self, ct: Ciphertext, value: float, scale: Optional[float] = None):
+        """Multiply by a scalar constant encoded at `scale` (default: the
+        level-pair scale); caller rescales."""
+        sc = scale or self.params.scale
+        rows = tuple(range(ct.nmod))
+        t = _sel(self.basis, rows)
+        res = self.const_poly(value, ct.nmod, sc)
+        c0 = mul_mod_barrett(ct.c0, res, t["q"], t["mu"])
+        c1 = mul_mod_barrett(ct.c1, res, t["q"], t["mu"])
+        return Ciphertext(c0, c1, ct.nmod, ct.scale * sc)
+
+    def mul_const_int(self, ct: Ciphertext, value: int):
+        """Multiply by a small integer without scale change."""
+        rows = tuple(range(ct.nmod))
+        t = _sel(self.basis, rows)
+        res = np.array(
+            [value % self.basis.primes[i] for i in range(ct.nmod)], dtype=np.uint64
+        ).astype(np.uint32)
+        res = jnp.asarray(res)[:, None]
+        return Ciphertext(
+            mul_mod_barrett(ct.c0, res, t["q"], t["mu"]),
+            mul_mod_barrett(ct.c1, res, t["q"], t["mu"]),
+            ct.nmod,
+            ct.scale,
+        )
+
+    def add_const(self, ct: Ciphertext, value: float) -> Ciphertext:
+        rows = tuple(range(ct.nmod))
+        t = _sel(self.basis, rows)
+        res = self.const_poly(value, ct.nmod, ct.scale)
+        return Ciphertext(add_mod(ct.c0, res, t["q"]), ct.c1, ct.nmod, ct.scale)
+
+    def zero_ct(self, nmod: Optional[int] = None) -> Ciphertext:
+        nmod = nmod or self.nq
+        z = jnp.zeros((nmod, self.n), jnp.uint32)
+        return Ciphertext(z, z, nmod, self.params.scale)

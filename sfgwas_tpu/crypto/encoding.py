@@ -1,0 +1,95 @@
+"""CKKS encode/decode: canonical embedding on the host.
+
+Fast path: float64 numpy FFT (plain data, |values| * scale within float64
+precision).  Exact path for big masked values (the SS<->HE conversions,
+replacing the lattigo fork's EncodeRVecNew/DecodeRVec, mpc/ss.go:125,260):
+double-double FFT in utils/ddfloat.py via encode_big/decode_big.
+
+Slot layout: slots = N/2, slot j lives at the primitive 2N-th root of unity
+with exponent 5^j mod 2N (the standard CKKS rotation group), conjugate pairs
+filled automatically for real vectors.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..ops import rns
+from .params import CkksParams
+
+
+class Encoder:
+    def __init__(self, params: CkksParams):
+        self.params = params
+        n = params.n
+        self.n = n
+        self.slots = params.slots
+        two_n = 2 * n
+        # rotation group exponents and positions: A_k holds exponent 2k+1
+        rot = np.zeros(self.slots, dtype=np.int64)
+        g = 1
+        for j in range(self.slots):
+            rot[j] = g
+            g = (g * 5) % two_n
+        self.rot = rot
+        self.pos = ((rot - 1) // 2).astype(np.int64)  # position of slot j
+        conj = (two_n - rot) % two_n
+        self.pos_conj = ((conj - 1) // 2).astype(np.int64)
+        self.psi = np.exp(1j * np.pi * np.arange(n) / n)
+        self.psi_inv = np.conj(self.psi)
+
+    # ------------------------------------------------------------- float path
+
+    def embed_inv(self, z: np.ndarray) -> np.ndarray:
+        """slots (complex) -> real coefficient vector (float64, unrounded)."""
+        A = np.zeros(self.n, dtype=np.complex128)
+        A[self.pos] = z
+        A[self.pos_conj] = np.conj(z)
+        # a_i psi^i = (1/N) sum_k A_k e^{-2pi i ik/N} = fft(A)/N
+        a = np.fft.fft(A) / self.n * self.psi_inv
+        return np.real(a)
+
+    def embed(self, coeffs: np.ndarray) -> np.ndarray:
+        """real coefficients -> slot values (complex)."""
+        # need A_k = sum_i a_i psi^i e^{+2pi i ik/N}; np.fft.fft uses e^{-...}
+        A = np.conj(np.fft.fft(np.conj(np.asarray(coeffs, np.complex128) * self.psi)))
+        return A[self.pos]
+
+    def encode(self, values, scale: float, nmod: int) -> np.ndarray:
+        """Real vector (len <= slots) -> RNS poly [nmod, N] (coeff domain)."""
+        z = np.zeros(self.slots, dtype=np.complex128)
+        v = np.asarray(values, dtype=np.float64)
+        z[: len(v)] = v
+        a = self.embed_inv(z) * scale
+        ints = np.round(a).astype(object)
+        ints = [int(x) for x in ints]
+        return rns.ints_to_rns(ints, self.params.q_primes[:nmod])
+
+    def decode(self, poly_coeff, nmod: int, scale: float) -> np.ndarray:
+        """RNS poly [nmod, N] (coeff domain) -> real slot values."""
+        ints = rns.rns_to_ints(np.asarray(poly_coeff), self.params.q_primes[:nmod])
+        a = np.array([float(x) for x in ints]) / scale
+        return np.real(self.embed(a))
+
+    # -------------------------------------------------------------- big path
+
+    def encode_big(self, int_values: List[int], scale: float, nmod: int) -> np.ndarray:
+        """Exact-ish encode of large integers (up to ~2^100) into slots at the
+        given scale; used by the SS->HE conversion."""
+        from ..utils.ddfloat import dd_embed_inv
+
+        z = [0] * self.slots
+        for i, v in enumerate(int_values):
+            z[i] = int(v)
+        coeff_ints = dd_embed_inv(self, z, scale)
+        return rns.ints_to_rns(coeff_ints, self.params.q_primes[:nmod])
+
+    def decode_big(self, poly_coeff, nmod: int, scale: float) -> List[int]:
+        """Decode to (rounded) big integers; absolute error stays O(1) even
+        for ~2^100-magnitude slot values."""
+        from ..utils.ddfloat import dd_embed
+
+        ints = rns.rns_to_ints(np.asarray(poly_coeff), self.params.q_primes[:nmod])
+        return dd_embed(self, [int(x) for x in ints], scale)

@@ -1,0 +1,426 @@
+"""Collective (multiparty) CKKS protocols.
+
+Re-implementation of the reference's mpc/mhe.go + mpc/aggregate.go on top of
+crypto/ckks.py:
+
+* CollectiveInit: per-party ternary key shard; collective public key (CKG),
+  2-round relinearization key (RKG), rotation keys (RTG) over a
+  common-reference-polynomial stream seeded from the global PRG
+  (mpc/mhe.go:24-81);
+* collective decrypt: switch-to-zero-key shares aggregated via the hub
+  (mpc/mhe.go:107-220);
+* collective bootstrap: masked decryption -> exact recode to the top modulus
+  -> masked re-encryption (mpc/mhe.go:222-379); masks are power-of-two
+  bounded and handled in vectorized word arithmetic (ops/rns.py), never
+  decoded;
+* hub-rooted aggregation trees for shares / ciphertexts / vectors
+  (mpc/aggregate.go:15-500).
+
+Party 0 (the MPC dealer) holds a zero key shard and participates in nothing
+here except where the reference does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..crypto import ckks as C
+from ..crypto.params import CkksParams, get_params
+from ..ops import rns
+from ..ops.rns import _sel, add_mod, mul_mod_barrett, neg_mod, ntt, sub_mod
+from ..parallel.transport import Network
+
+
+@dataclass
+class CryptoParams:
+    """The bundle passed around the GWAS layers (reference CryptoParams,
+    crypto/crypto.go:45-87)."""
+
+    ctx: C.CkksContext
+    sk: C.SecretKey  # this party's shard (zeros for party 0)
+    pk: C.PublicKey
+    rlk: Optional[C.KSwitchKey]
+    rot_keys: Dict[int, C.KSwitchKey] = field(default_factory=dict)
+    enc_rng: np.random.Generator = None
+
+    @property
+    def params(self) -> CkksParams:
+        return self.ctx.params
+
+    @property
+    def slots(self) -> int:
+        return self.ctx.params.slots
+
+
+def generate_rot_shifts(slots: int, small_dim: int = 20) -> List[int]:
+    """Rotation shifts to generate keys for: powers of two (both directions)
+    + small baby steps + BSGS giant steps (crypto/crypto.go:232-275)."""
+    shifts = set()
+    p = 1
+    while p < slots:
+        shifts.add(p % slots)
+        shifts.add((slots - p) % slots)
+        p *= 2
+    for k in range(1, small_dim + 1):
+        shifts.add(k % slots)
+        shifts.add((slots - k) % slots)
+    import math
+
+    d = int(math.ceil(math.sqrt(slots)))
+    for g in range(1, d + 1):
+        shifts.add((g * d) % slots)
+        shifts.add((slots - g * d) % slots)
+    shifts.discard(0)
+    return sorted(shifts)
+
+
+def collective_init(
+    net: Network, params_name: str, extra_shifts: Optional[List[int]] = None
+) -> CryptoParams:
+    """Interactive collective key generation (mpc/mhe.go:24-81)."""
+    params = get_params(params_name)
+    ctx = C.CkksContext(params)
+    pid = net.pid
+
+    # CRP stream: seeded from the globally shared PRG (mpc/mhe.go:49-59)
+    with net.rand.using(-1) as g:
+        crp_seed = int.from_bytes(g.bytes(8), "little")
+    crp_rng = np.random.default_rng(np.random.Philox(key=crp_seed))
+    enc_rng = np.random.default_rng()  # local randomness
+
+    # secret shard (party 0: zero key, mpc/mhe.go:32-35)
+    if pid == 0:
+        sk = C.SecretKey(jnp.zeros((ctx.nq + 1, ctx.n), jnp.uint32))
+    else:
+        sk = ctx.gen_secret_key(enc_rng)
+
+    pk = collective_pubkey_gen(net, ctx, sk, crp_rng)
+    rlk = collective_relin_keygen(net, ctx, sk, crp_rng)
+
+    rot_keys: Dict[int, C.KSwitchKey] = {}
+    shifts = generate_rot_shifts(params.slots)
+    if extra_shifts:
+        shifts = sorted(set(shifts) | set(s % params.slots for s in extra_shifts))
+    gelems = sorted({ctx.galois_for_rotation(s) for s in shifts} | {ctx.galois_conjugate()})
+    for g_el in gelems:
+        rot_keys[g_el] = collective_rotkey_gen(net, ctx, sk, g_el, crp_rng)
+
+    return CryptoParams(ctx, sk, pk, rlk, rot_keys, enc_rng)
+
+
+def _aggregate_mod(net: Network, ctx: C.CkksContext, x, rows):
+    """Aggregate NTT-domain residue arrays modularly across data parties
+    (party 0 excluded, mirroring the pid>0 guards of mpc/aggregate.go),
+    hub-rooted."""
+    if net.pid == 0:
+        return jnp.asarray(x)
+    t = _sel(ctx.basis, rows)
+
+    def add_fn(a, b):
+        return add_mod(jnp.asarray(a), jnp.asarray(b), t["q"])
+
+    out = net.aggregate(np.asarray(x), add_fn)
+    return jnp.asarray(out)
+
+
+def collective_pubkey_gen(net: Network, ctx, sk, crp_rng) -> C.PublicKey:
+    """CKG (mpc/mhe.go:83-105): share_i = -crp*s_i + e_i."""
+    rows = ctx.full_rows
+    t = _sel(ctx.basis, rows)
+    crp = ctx.sample_uniform(crp_rng, rows)  # same on all parties
+    if net.pid == 0:
+        share = jnp.zeros((ctx.nq + 1, ctx.n), jnp.uint32)
+    else:
+        e = ctx.small_to_rns(ctx.sample_gauss(np.random.default_rng()), rows)
+        share = add_mod(
+            neg_mod(mul_mod_barrett(crp, sk.s, t["q"], t["mu"]), t["q"]), e, t["q"]
+        )
+    p0 = _aggregate_mod(net, ctx, share, rows)
+    # party 0 receives the aggregate as well (reference sends it pk via hub)
+    if net.pid == 0:
+        p0 = jnp.asarray(net.recv(net.hub_pid))
+    elif net.pid == net.hub_pid:
+        net.send(np.asarray(p0), 0)
+    return C.PublicKey(p0, crp)
+
+
+def collective_relin_keygen(net: Network, ctx, sk, crp_rng) -> C.KSwitchKey:
+    """2-round RKG (mpc/mhe.go:478-502 structure).
+
+    R1: h_j = sum_i (-u_i a_j + g_j s_i + e);  g_j = (P mod q_j) 1_{row j}
+    R2: V_j = sum_i (s_i h_j + e)  and  W_j = sum_i (u_i a_j + e)
+    Key: k0_j = V_j (= -u a_j s + g_j s^2 + e), k1_j = W_j (= u a_j + e):
+    k0_j + s k1_j = g_j s^2 + noise."""
+    rows = ctx.full_rows
+    t = _sel(ctx.basis, rows)
+    pid = net.pid
+    rng = np.random.default_rng()
+    psp = ctx.params.special
+
+    a_list = [ctx.sample_uniform(crp_rng, rows) for _ in range(ctx.nq)]
+    if pid == 0:
+        u_ntt = None
+        h_shares = [jnp.zeros((ctx.nq + 1, ctx.n), jnp.uint32) for _ in range(ctx.nq)]
+    else:
+        u_ntt = ctx.small_to_rns(ctx.sample_ternary(rng), rows)
+        h_shares = []
+        for j in range(ctx.nq):
+            e = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
+            h = add_mod(
+                neg_mod(mul_mod_barrett(a_list[j], u_ntt, t["q"], t["mu"]), t["q"]),
+                e,
+                t["q"],
+            )
+            pj = psp % ctx.params.q_primes[j]
+            term = C.mul_mod_shoup(
+                sk.s[j : j + 1],
+                jnp.full((1, 1), pj, jnp.uint32),
+                jnp.full((1, 1), (pj << 32) // ctx.params.q_primes[j], jnp.uint32),
+                t["q"][j : j + 1],
+            )
+            h = h.at[j].set(add_mod(h[j], term[0], t["q"][j]))
+            h_shares.append(h)
+    h_agg = [_aggregate_mod(net, ctx, h, rows) for h in h_shares]
+
+    d0s, d1s = [], []
+    for j in range(ctx.nq):
+        if pid == 0:
+            v_sh = jnp.zeros((ctx.nq + 1, ctx.n), jnp.uint32)
+            w_sh = jnp.zeros((ctx.nq + 1, ctx.n), jnp.uint32)
+        else:
+            e1 = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
+            e2 = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
+            v_sh = add_mod(
+                mul_mod_barrett(sk.s, h_agg[j], t["q"], t["mu"]), e1, t["q"]
+            )
+            w_sh = add_mod(
+                mul_mod_barrett(u_ntt, a_list[j], t["q"], t["mu"]), e2, t["q"]
+            )
+        d0s.append(_aggregate_mod(net, ctx, v_sh, rows))
+        d1s.append(_aggregate_mod(net, ctx, w_sh, rows))
+    return C.KSwitchKey(jnp.stack(d0s), jnp.stack(d1s))
+
+
+def collective_rotkey_gen(net: Network, ctx, sk, g_el: int, crp_rng) -> C.KSwitchKey:
+    """RTG for one Galois element (mpc/mhe.go:381-476): each party's share is
+    a switching key from sigma_g(s_i) to s_i summed across parties."""
+    rows = ctx.full_rows
+    t = _sel(ctx.basis, rows)
+    pid = net.pid
+    rng = np.random.default_rng()
+    psp = ctx.params.special
+    d0s, d1s = [], []
+    for j in range(ctx.nq):
+        a = ctx.sample_uniform(crp_rng, rows)
+        if pid == 0:
+            share = jnp.zeros((ctx.nq + 1, ctx.n), jnp.uint32)
+        else:
+            e = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
+            share = add_mod(
+                neg_mod(mul_mod_barrett(a, sk.s, t["q"], t["mu"]), t["q"]), e, t["q"]
+            )
+            s_g = ctx.automorphism(sk.s, g_el)
+            pj = psp % ctx.params.q_primes[j]
+            term = C.mul_mod_shoup(
+                s_g[j : j + 1],
+                jnp.full((1, 1), pj, jnp.uint32),
+                jnp.full((1, 1), (pj << 32) // ctx.params.q_primes[j], jnp.uint32),
+                t["q"][j : j + 1],
+            )
+            share = share.at[j].set(add_mod(share[j], term[0], t["q"][j]))
+        d0s.append(_aggregate_mod(net, ctx, share, rows))
+        d1s.append(a)
+    return C.KSwitchKey(jnp.stack(d0s), jnp.stack(d1s))
+
+
+# ---------------------------------------------------------------------------
+# collective decrypt / bootstrap
+
+
+def collective_decrypt(net: Network, cps: CryptoParams, ct: C.Ciphertext, source_pid: int):
+    """Returns the plaintext (all data parties; None at party 0)
+    (mpc/mhe.go:107-220).  source_pid > 0 broadcasts first; <= 0 means the
+    ciphertext is already known to every data party."""
+    if net.pid == 0:
+        return None
+    ctx = cps.ctx
+    if source_pid > 0:
+        ct = broadcast_ciphertext(net, cps, ct, source_pid)
+    rows = tuple(range(ct.nmod))
+    t = _sel(ctx.basis, rows)
+    rng = cps.enc_rng
+    e = ctx.small_to_rns(ctx.sample_gauss(rng, sigma=6.36), rows)
+    share = add_mod(
+        mul_mod_barrett(ct.c1, cps.sk.s[: ct.nmod], t["q"], t["mu"]), e, t["q"]
+    )
+    agg = _aggregate_mod(net, ctx, share, rows)
+    m = add_mod(ct.c0, agg, t["q"])
+    return C.Plaintext(m, ct.nmod, ct.scale)
+
+
+def collective_bootstrap(net: Network, cps: CryptoParams, ct: C.Ciphertext, source_pid: int):
+    """Refresh to the top level (mpc/mhe.go:222-261): masked decryption ->
+    exact recode -> masked re-encryption.  Returns the refreshed ciphertext
+    (party 0: returns input)."""
+    if net.pid == 0:
+        # party 0 participates in no communication here (reference returns)
+        return ct
+    ctx = cps.ctx
+    params = ctx.params
+    if source_pid > 0:
+        ct = broadcast_ciphertext(net, cps, ct, source_pid)
+    nmod = ct.nmod
+    rows = tuple(range(nmod))
+    full = tuple(range(ctx.nq))
+    t_l = _sel(ctx.basis, rows)
+    t_f = _sel(ctx.basis, full)
+    rng = cps.enc_rng
+
+    # mask bound: 2^(bits(Q_l) - 2 - log2(nparty))
+    ql_bits = params.q_prod(nmod).bit_length()
+    import math
+
+    bound_bits = ql_bits - 3 - int(math.ceil(math.log2(max(2, net.nparty - 1))))
+    mask_w = rns.words_sample_centered(rng, bound_bits, ctx.n)
+    mask_l = np.stack(
+        [rns.words_mod_prime(mask_w, params.q_primes[i]) for i in range(nmod)]
+    )
+    mask_f = np.stack(
+        [rns.words_mod_prime(mask_w, params.q_primes[i]) for i in range(ctx.nq)]
+    )
+    mask_l = ntt(jnp.asarray(mask_l), ctx.basis, rows)
+    mask_f = ntt(jnp.asarray(mask_f), ctx.basis, full)
+
+    # common reference polynomial for the re-encryption (full level)
+    with net.rand.using(-1) as g:
+        seed = int.from_bytes(g.bytes(8), "little")
+    crp = ctx.sample_uniform(np.random.default_rng(np.random.Philox(key=seed)), full)
+
+    e1 = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
+    e2 = ctx.small_to_rns(ctx.sample_gauss(rng), full)
+
+    h1 = add_mod(
+        add_mod(
+            mul_mod_barrett(ct.c1, cps.sk.s[:nmod], t_l["q"], t_l["mu"]), e1, t_l["q"]
+        ),
+        mask_l,
+        t_l["q"],
+    )
+    h2 = sub_mod(
+        add_mod(
+            neg_mod(mul_mod_barrett(crp, cps.sk.s[: ctx.nq], t_f["q"], t_f["mu"]), t_f["q"]),
+            e2,
+            t_f["q"],
+        ),
+        mask_f,
+        t_f["q"],
+    )
+    h1 = _aggregate_mod(net, ctx, h1, rows)
+    h2 = _aggregate_mod(net, ctx, h2, full)
+
+    # masked decryption, exact integer recode to the full modulus
+    mu = add_mod(ct.c0, h1, t_l["q"])
+    mu_coeff = ntt(mu, ctx.basis, rows, inverse=True)
+    lifted = rns.crt_lift_centered(
+        np.asarray(mu_coeff), params.q_primes[:nmod], params.q_primes[: ctx.nq]
+    )
+    mu_full = ntt(jnp.asarray(lifted), ctx.basis, full)
+
+    c0 = add_mod(mu_full, h2, t_f["q"])
+    return C.Ciphertext(c0, crp, ctx.nq, ct.scale)
+
+
+def bootstrap_vec(net, cps, cv, source_pid):
+    return [collective_bootstrap(net, cps, ct, source_pid) for ct in cv]
+
+
+def bootstrap_mat(net, cps, cm, source_pid):
+    return [[collective_bootstrap(net, cps, ct, source_pid) for ct in row] for row in cm]
+
+
+def bootstrap_mat_all(net, cps, cm):
+    """Each data party's matrix refreshed in turn (mpc/mhe.go:351-365).
+    With already-shared matrices (source <= 0 semantics) a single pass
+    suffices; this mirrors BootstrapMatAll call sites where every party holds
+    its own local matrix -- since our bootstrap with source_pid <= 0 assumes
+    the ciphertext is shared, parties take turns broadcasting."""
+    out = cm
+    for source in range(1, net.nparty):
+        if net.pid == source:
+            out = [[collective_bootstrap(net, cps, ct, source) for ct in row] for row in out]
+        else:
+            dummy = [[collective_bootstrap(net, cps, None, source) for ct in row] for row in cm]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ciphertext transport helpers (mpc/sendrecieve.go, mpc/aggregate.go)
+
+
+def ct_to_wire(ct: C.Ciphertext):
+    return {
+        "c0": np.asarray(ct.c0),
+        "c1": np.asarray(ct.c1),
+        "nmod": ct.nmod,
+        "scale": float(ct.scale),
+    }
+
+
+def ct_from_wire(d) -> C.Ciphertext:
+    return C.Ciphertext(
+        jnp.asarray(d["c0"]), jnp.asarray(d["c1"]), int(d["nmod"]), float(d["scale"])
+    )
+
+
+def send_ciphertext(net: Network, ct: C.Ciphertext, to: int):
+    net.send(ct_to_wire(ct), to)
+
+
+def recv_ciphertext(net: Network, frm: int) -> C.Ciphertext:
+    return ct_from_wire(net.recv(frm))
+
+
+def broadcast_ciphertext(net: Network, cps, ct, source_pid: int) -> C.Ciphertext:
+    if net.pid == source_pid:
+        for p in range(1, net.nparty):
+            if p != source_pid:
+                net.send(ct_to_wire(ct), p)
+        return ct
+    if net.pid > 0:
+        return ct_from_wire(net.recv(source_pid))
+    return ct
+
+
+def aggregate_ct(net: Network, cps: CryptoParams, ct: C.Ciphertext) -> C.Ciphertext:
+    """Sum ciphertexts across data parties (AggregateCText,
+    mpc/aggregate.go)."""
+    if net.pid == 0:
+        return ct
+    ctx = cps.ctx
+
+    def add_fn(a, b):
+        nmod = min(int(a["nmod"]), int(b["nmod"]))
+        ca, cb = ct_from_wire(a), ct_from_wire(b)
+        return ct_to_wire(ctx.add(ca, cb))
+
+    out = net.aggregate(ct_to_wire(ct), add_fn)
+    return ct_from_wire(out)
+
+
+def aggregate_cvec(net, cps, cv):
+    return [aggregate_ct(net, cps, ct) for ct in cv]
+
+
+def aggregate_cmat(net, cps, cm):
+    return [[aggregate_ct(net, cps, ct) for ct in row] for row in cm]
+
+
+def aggregate_int_vec(net: Network, vec: np.ndarray) -> np.ndarray:
+    if net.pid == 0:
+        return vec
+    out = net.aggregate(np.asarray(vec), lambda a, b: np.asarray(a) + np.asarray(b))
+    return np.asarray(out)

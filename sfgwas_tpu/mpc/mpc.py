@@ -132,7 +132,7 @@ class MPC:
                 am = ring.add(am, mask)
             return ring.zeros(shape), am
         with self.rand.using(0) as _:
-            mask = ring.rand(self.rand.cur(), shape)
+            mask = jnp.asarray(ring.rand(self.rand.cur(), shape))
         ar = ring.sub(a, mask)
         ar = self.reveal_sym(ar, ring)
         return ar, mask
@@ -438,13 +438,17 @@ class MPC:
         bdot = self.fan_in_or(cpre.reshape(n * L, L)).reshape(n, L)
 
         bdr, bdm = self.beaver_partition(bdot, F)
-        # s[i] = outer(f[i], bdot[i])  [L, L]
+        # s[i] = outer(f[i], bdot[i])  [L, L]; reduce each product before
+        # adding (two raw int32 products overflow)
         if self.pid == 0:
             s = jnp.einsum("ni,nj->nij", fm, bdm) % F.modulus
         else:
-            s = (jnp.einsum("ni,nj->nij", fr, bdm) + jnp.einsum("ni,nj->nij", fm, bdr)) % F.modulus
+            s = (
+                jnp.einsum("ni,nj->nij", fr, bdm) % F.modulus
+                + jnp.einsum("ni,nj->nij", fm, bdr) % F.modulus
+            ) % F.modulus
             if self.pid == 1:
-                s = (s + jnp.einsum("ni,nj->nij", fr, bdr)) % F.modulus
+                s = (s + jnp.einsum("ni,nj->nij", fr, bdr) % F.modulus) % F.modulus
         s = self.beaver_reconstruct(s.reshape(n, L * L), F).reshape(n, L, L)
 
         out = jnp.zeros((n, k), jnp.int32)

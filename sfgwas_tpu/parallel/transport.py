@@ -319,8 +319,13 @@ class Network:
     # -- hub aggregation trees (mpc/aggregate.go:466-500) -------------------
 
     def hub_gather_sum(self, x, add_fn, include_zero: bool = False):
-        """Data parties send to hub; hub returns the sum (only at hub)."""
+        """Data parties send to hub; hub returns the sum (only at hub).
+        Parties below `first` (the dealer, unless include_zero) do not
+        participate and get their input back (mpc/aggregate.go pid>0
+        guards)."""
         first = 0 if include_zero else 1
+        if self.pid < first:
+            return x
         if self.pid == self.hub_pid:
             acc = x
             for p in range(first, self.nparty):
@@ -333,6 +338,8 @@ class Network:
 
     def hub_broadcast(self, x, include_zero: bool = False):
         first = 0 if include_zero else 1
+        if self.pid < first:
+            return x
         if self.pid == self.hub_pid:
             for p in range(first, self.nparty):
                 if p != self.pid:
@@ -341,7 +348,8 @@ class Network:
         return self.recv(self.hub_pid)
 
     def aggregate(self, x, add_fn, include_zero: bool = False):
-        """Gather-add at hub then broadcast back (all parties get the sum)."""
+        """Gather-add at hub then broadcast back (participating parties all
+        get the sum; the dealer gets its input back)."""
         s = self.hub_gather_sum(x, add_fn, include_zero)
         return self.hub_broadcast(s, include_zero)
 

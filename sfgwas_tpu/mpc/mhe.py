@@ -79,9 +79,14 @@ def generate_rot_shifts(slots: int, small_dim: int = 20) -> List[int]:
 
 
 def collective_init(
-    net: Network, params_name: str, extra_shifts: Optional[List[int]] = None
+    net: Network,
+    params_name: str,
+    extra_shifts: Optional[List[int]] = None,
+    shifts_override: Optional[List[int]] = None,
 ) -> CryptoParams:
-    """Interactive collective key generation (mpc/mhe.go:24-81)."""
+    """Interactive collective key generation (mpc/mhe.go:24-81).
+    shifts_override replaces the default rotation-key set (tests / reduced
+    deployments)."""
     params = get_params(params_name)
     ctx = C.CkksContext(params)
     pid = net.pid
@@ -102,7 +107,10 @@ def collective_init(
     rlk = collective_relin_keygen(net, ctx, sk, crp_rng)
 
     rot_keys: Dict[int, C.KSwitchKey] = {}
-    shifts = generate_rot_shifts(params.slots)
+    if shifts_override is not None:
+        shifts = sorted({s % params.slots for s in shifts_override} - {0})
+    else:
+        shifts = generate_rot_shifts(params.slots)
     if extra_shifts:
         shifts = sorted(set(shifts) | set(s % params.slots for s in extra_shifts))
     gelems = sorted({ctx.galois_for_rotation(s) for s in shifts} | {ctx.galois_conjugate()})

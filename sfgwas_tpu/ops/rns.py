@@ -386,7 +386,10 @@ def crt_lift_centered(res: np.ndarray, primes_src, dst_primes) -> np.ndarray:
     Q = 1
     for q in primes_src[:l]:
         Q *= q
-    nwords = (Q.bit_length() + _WB) // _WB + 1
+    # v = sum_i res_i * T_i can reach (sum_i q_i) * Q ~ 2^26 * l * Q, so the
+    # word array and the shifted-subtract ladder must cover that headroom
+    slack = max(p.bit_length() for p in primes_src[:l]) + l.bit_length() + 2
+    nwords = (Q.bit_length() + slack + _WB) // _WB + 1
     Tw = np.zeros((l, nwords), dtype=np.int64)
     for i in range(l):
         qi = primes_src[i]
@@ -395,10 +398,10 @@ def crt_lift_centered(res: np.ndarray, primes_src, dst_primes) -> np.ndarray:
     # v_words[k, j] = sum_i res[i, j] * Tw[i, k]   (< l * 2^25 * 2^24 < 2^54)
     vw = np.einsum("ij,ik->kj", res, Tw)  # [nwords, N] int64
     vw = _word_carry(vw)
-    # subtract multiples of Q until v < Q  (v < l*Q)
+    # binary shifted-subtract ladder: v < 2^slack * Q -> v mod Q
     Qw = _int_to_words(Q, nwords)
-    for _ in range(l + 1):
-        vw = _cond_sub_words(vw, Qw)
+    for s in range(slack, -1, -1):
+        vw = _cond_sub_words(vw, _int_to_words(Q << s, nwords))
     # centered: if v >= Q/2: v -= Q
     half_w = _int_to_words(Q // 2, nwords)
     ge = _ge_words(vw, half_w)

@@ -1,0 +1,118 @@
+"""Collective CKKS protocol tests: keygen, decrypt, bootstrap, SS<->HE."""
+
+import numpy as np
+import pytest
+
+from sfgwas_tpu.crypto import basics as B
+from sfgwas_tpu.mpc import mhe, ss_he
+from sfgwas_tpu.ops import ring as R
+from sfgwas_tpu.parallel.simulate import make_shares, reveal_ints, run_parties
+
+F = 30
+PRESET = "TEST8"
+SHIFTS = [1, 2, 4, 8, 16, 32, 64, 127, 126, 124, 120, 112, 96]
+
+
+def _init(mpc):
+    return mhe.collective_init(mpc.net, PRESET, shifts_override=SHIFTS)
+
+
+def test_collective_encrypt_decrypt_and_mult():
+    rng = np.random.default_rng(5)
+    slots = 128
+    v1 = rng.normal(size=slots)
+    v2 = rng.normal(size=slots)
+
+    def fn(mpc):
+        cps = _init(mpc)
+        if mpc.pid == 0:
+            # party 0 never holds ciphertexts; just stay in sync for ss tests
+            return None
+        # party 1 encrypts; everyone gets the same ciphertexts
+        if mpc.pid == 1:
+            c1 = B.encrypt_float_vector(cps, v1)
+            c2 = B.encrypt_float_vector(cps, v2)
+        else:
+            c1 = c2 = [None]
+        c1 = [mhe.broadcast_ciphertext(mpc.net, cps, c1[0], 1)]
+        c2 = [mhe.broadcast_ciphertext(mpc.net, cps, c2[0], 1)]
+        # add + mult with collective keys
+        cs = B.cadd(cps, c1, c2)
+        cm = B.cmult(cps, c1, c2)
+        cr = [B.rotate_left(cps, c1[0], 4)]
+        outs = []
+        for cv in (cs, cm, cr):
+            pt = mhe.collective_decrypt(mpc.net, cps, cv[0], -1)
+            outs.append(cps.ctx.decode(pt))
+        return outs
+
+    res = run_parties(3, fn)
+    for pid in (1, 2):
+        s, m, r = res[pid]
+        assert np.allclose(s, v1 + v2, atol=1e-3)
+        assert np.allclose(m, v1 * v2, atol=1e-3), np.abs(m - v1 * v2).max()
+        assert np.allclose(r, np.roll(v1, -4), atol=1e-3)
+
+
+def test_aggregate_and_bootstrap():
+    rng = np.random.default_rng(6)
+    slots = 128
+    vals = {1: rng.normal(size=slots), 2: rng.normal(size=slots)}
+
+    def fn(mpc):
+        cps = _init(mpc)
+        if mpc.pid == 0:
+            return None
+        cv = B.encrypt_float_vector(cps, vals[mpc.pid])
+        agg = mhe.aggregate_cvec(mpc.net, cps, cv)
+        # burn levels then refresh
+        ct = agg[0]
+        for _ in range(2):
+            ct = cps.ctx.rescale(cps.ctx.mul_const(ct, 1.0))
+        low_nmod = ct.nmod
+        ct = mhe.collective_bootstrap(mpc.net, cps, ct, -1)
+        pt = mhe.collective_decrypt(mpc.net, cps, ct, -1)
+        return cps.ctx.decode(pt), low_nmod, ct.nmod
+
+    res = run_parties(3, fn)
+    want = vals[1] + vals[2]
+    for pid in (1, 2):
+        got, low, high = res[pid]
+        assert high == cps_nq()
+        assert low < high
+        assert np.allclose(got, want, atol=1e-3), np.abs(got - want).max()
+
+
+def cps_nq():
+    from sfgwas_tpu.crypto.params import get_params
+
+    return get_params(PRESET).nq
+
+
+def test_ss_to_he_to_ss_roundtrip():
+    vals = [1.5, -2.25, 3.0, 0.125, 100.5]
+    enc = [int(round(v * (1 << F))) % R.P256 for v in vals]
+
+    def fn(mpc):
+        cps = _init(mpc)
+        sh = make_shares(mpc, enc)[None]  # [1, n, L]
+        cm = ss_he.ss_to_cmat(mpc, cps, sh)
+        dec = None
+        if mpc.pid > 0:
+            pt = mhe.collective_decrypt(mpc.net, cps, cm[0][0], -1)
+            dec = cps.ctx.decode(pt)[: len(vals)]
+        back = ss_he.cmat_to_ss(mpc, cps, cm, -1, len(vals))
+        rev = reveal_ints(mpc, back[0])
+        return dec, rev
+
+    res = run_parties(3, fn)
+    for pid in (1, 2):
+        dec, rev = res[pid]
+        assert np.allclose(dec, vals, atol=1e-4), dec
+        got = []
+        for v in rev:
+            v = int(v)
+            if v > R.P256 // 2:
+                v -= R.P256
+            got.append(v / (1 << F))
+        assert np.allclose(got, vals, atol=1e-3), got

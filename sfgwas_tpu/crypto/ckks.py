@@ -237,7 +237,9 @@ class CkksContext:
 
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         a, b, rows = self._match(a, b)
-        assert abs(a.scale / b.scale - 1) < 1e-6, (a.scale, b.scale)
+        # paired-prime rescaling makes scales drift by ~2^-12 per level;
+        # tolerate small mismatches (error ~ relative drift of one operand)
+        assert abs(a.scale / b.scale - 1) < 5e-3, (a.scale, b.scale)
         t = _sel(self.basis, rows)
         return Ciphertext(
             add_mod(a.c0, b.c0, t["q"]), add_mod(a.c1, b.c1, t["q"]), a.nmod, a.scale
@@ -245,7 +247,7 @@ class CkksContext:
 
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         a, b, rows = self._match(a, b)
-        assert abs(a.scale / b.scale - 1) < 1e-6
+        assert abs(a.scale / b.scale - 1) < 5e-3, (a.scale, b.scale)
         t = _sel(self.basis, rows)
         return Ciphertext(
             sub_mod(a.c0, b.c0, t["q"]), sub_mod(a.c1, b.c1, t["q"]), a.nmod, a.scale
@@ -342,21 +344,24 @@ class CkksContext:
 
     # ---------------------------------------------------------- keyswitch
 
-    def keyswitch_core(self, d, ksk: KSwitchKey, nmod: int):
-        """Switch NTT-domain poly d [nmod, N] (a c1-part under s_src) to the
-        target key; returns (k0, k1) each [nmod, N] mod the active primes."""
+    def decompose_ntt(self, d, nmod: int):
+        """ModUp: NTT poly d [nmod, N] -> per-digit extensions
+        [nmod, nmod+1, N] over (active primes + special), NTT domain.
+        This is the expensive half of a key switch; hoisted rotations reuse
+        it across many Galois elements."""
         ext_rows = tuple(range(nmod)) + (self.sp_row,)
         d_coeff = ntt(d, self.basis, tuple(range(nmod)), inverse=True)
-        # digit j -> extended to all ext rows
         exts = []
         for j in range(nmod):
             exts.append(self._extend(d_coeff[j], j, ext_rows))
         ext = jnp.stack(exts)  # [nmod, nmod+1, N] coeff domain
         flat_rows = ext_rows * nmod
-        ext_ntt = ntt(
+        return ntt(
             ext.reshape(nmod * len(ext_rows), self.n), self.basis, flat_rows
         ).reshape(nmod, len(ext_rows), self.n)
-        # gather ksk rows for active primes + special
+
+    def keyswitch_decomposed(self, ext_ntt, ksk: KSwitchKey, nmod: int):
+        ext_rows = tuple(range(nmod)) + (self.sp_row,)
         idx = jnp.asarray(ext_rows)
         k0 = ksk.d0[:nmod][:, idx, :]
         k1 = ksk.d1[:nmod][:, idx, :]
@@ -367,6 +372,34 @@ class CkksContext:
         acc0 = self._reduce_u32(jnp.sum(p0, axis=0, dtype=jnp.uint32), ext_rows)
         acc1 = self._reduce_u32(jnp.sum(p1, axis=0, dtype=jnp.uint32), ext_rows)
         return self._moddown(acc0, nmod), self._moddown(acc1, nmod)
+
+    def keyswitch_core(self, d, ksk: KSwitchKey, nmod: int):
+        """Switch NTT-domain poly d [nmod, N] (a c1-part under s_src) to the
+        target key; returns (k0, k1) each [nmod, N] mod the active primes."""
+        return self.keyswitch_decomposed(self.decompose_ntt(d, nmod), ksk, nmod)
+
+    def hoisted_rotations(self, ct: Ciphertext, shifts, rot_keys):
+        """Rotate one ciphertext by many shifts, decomposing c1 only once
+        (automorphisms commute with the per-digit lifting, so sigma_g of the
+        decomposition equals the decomposition of sigma_g(c1)).  Returns
+        {shift: Ciphertext}."""
+        nmod = ct.nmod
+        rows = tuple(range(nmod))
+        t = _sel(self.basis, rows)
+        ext = self.decompose_ntt(ct.c1, nmod)
+        out = {}
+        for k in shifts:
+            k = k % self.params.slots
+            if k == 0:
+                out[0] = ct.copy()
+                continue
+            g = self.galois_for_rotation(k)
+            perm = self._perm_for(g)
+            ext_g = ext[..., perm]
+            c0g = self.automorphism(ct.c0, g)
+            k0, k1 = self.keyswitch_decomposed(ext_g, rot_keys[g], nmod)
+            out[k] = Ciphertext(add_mod(c0g, k0, t["q"]), k1, nmod, ct.scale)
+        return out
 
     def _reduce_u32(self, x, rows: Tuple[int, ...]):
         m32 = self.m32[jnp.asarray(rows)]

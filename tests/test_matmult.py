@@ -1,0 +1,69 @@
+"""BSGS cipher x plain matmult vs numpy oracle."""
+
+import math
+
+import numpy as np
+
+from sfgwas_tpu.crypto import basics as B
+from sfgwas_tpu.gwas import matmult as MM
+from sfgwas_tpu.mpc import mhe
+from sfgwas_tpu.parallel.simulate import run_parties
+
+PRESET = "TEST8"
+SLOTS = 128
+
+
+def _shifts():
+    d = int(math.ceil(math.sqrt(SLOTS)))
+    sh = set(range(1, d))
+    for g in range(1, (SLOTS - 1) // d + 1):
+        sh.add((g * d) % SLOTS)
+    p = 1
+    while p < SLOTS:
+        sh.add(p)
+        p *= 2
+    return sorted(sh)
+
+
+def test_mat_mult_multiblock():
+    rng = np.random.default_rng(11)
+    s = 2
+    n, m = 200, 150  # 2 block rows, 2 block cols at 128 slots
+    Q = rng.normal(size=(s, n)) * 0.5
+    X = rng.integers(0, 3, size=(n, m)).astype(np.int8)
+
+    def fn(mpc):
+        cps = mhe.collective_init(mpc.net, PRESET, shifts_override=_shifts())
+        if mpc.pid == 0:
+            return None
+        if mpc.pid == 1:
+            A = []
+            for i in range(s):
+                row = []
+                for b0 in range(0, n, SLOTS):
+                    row.append(B.encrypt_float_vector(cps, Q[i, b0 : b0 + SLOTS])[0])
+                A.append(row)
+        else:
+            A = [[None] * (2) for _ in range(s)]
+        A = [
+            [mhe.broadcast_ciphertext(mpc.net, cps, A[i][j], 1) for j in range(2)]
+            for i in range(s)
+        ]
+        out, dsum, dsq = MM.mat_mult_stream(cps, A, X, compute_sums=True)
+        res = []
+        for i in range(s):
+            vals = []
+            for ct in out[i]:
+                pt = mhe.collective_decrypt(mpc.net, cps, ct, -1)
+                vals.append(cps.ctx.decode(pt))
+            res.append(np.concatenate(vals))
+        return res, dsum, dsq
+
+    res = run_parties(3, fn)
+    want = Q @ X.astype(np.float64)
+    got, dsum, dsq = res[1]
+    for i in range(s):
+        err = np.abs(got[i][:m] - want[i]).max()
+        assert err < 1e-2, (i, err)
+    assert np.allclose(dsum, X.astype(np.float64).sum(axis=0))
+    assert np.allclose(dsq, (X.astype(np.float64) ** 2).sum(axis=0))

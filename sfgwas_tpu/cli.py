@@ -1,0 +1,71 @@
+"""CLI entry point (reference sfgwas.go:17-74).
+
+Usage (one process per party, like run_example.sh):
+    PID=0 python -m sfgwas_tpu.cli --config-global config/configGlobal.toml \
+        --config-local config/configLocal.Party0.toml
+
+The PID environment variable selects the party; the two-level TOML config
+matches the reference schema.  Use --local-sim N to run all parties in one
+process over the in-process mesh instead of TCP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    # force the CPU/TPU platform decision before heavy imports
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config-global", required=True)
+    ap.add_argument("--config-local", default=None)
+    ap.add_argument("--local-sim", type=int, default=0,
+                    help="run all N+1 parties in-process (testing)")
+    ap.add_argument("--platform", default=None, help="jax platform override")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from .utils.config import load_config
+
+    if args.local_sim:
+        from .parallel.transport import LocalCluster
+        from .gwas.protocol import ProtocolInfo
+        import threading
+
+        nparty = args.local_sim
+        cluster = LocalCluster(nparty)
+        outs = [None] * nparty
+
+        def work(pid):
+            cfg = load_config(args.config_global, args.config_local)
+            cfg.cache_dir = os.path.join(cfg.cache_dir, f"party{pid}")
+            cfg.output_dir = os.path.join(cfg.output_dir, f"party{pid}")
+            prot = ProtocolInfo(cfg, pid, transport=cluster.transport(pid))
+            outs[pid] = prot.gwas()
+            prot.sync_and_terminate()
+
+        ts = [threading.Thread(target=work, args=(p,)) for p in range(nparty)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return 0
+
+    pid = int(os.environ.get("PID", "0"))
+    cfg = load_config(args.config_global, args.config_local)
+    from .gwas.protocol import ProtocolInfo
+
+    prot = ProtocolInfo(cfg, pid)
+    prot.gwas()
+    prot.sync_and_terminate()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

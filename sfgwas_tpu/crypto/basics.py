@@ -178,13 +178,27 @@ def mask(cps, ct: C.Ciphertext, index: int, keep_rest: bool) -> Optional[C.Ciphe
     return cps.ctx.rescale(cps.ctx.mul_plain(ct, _mask_pt(cps, m, ct.nmod)))
 
 
-def mask_trunc(cps, ct: C.Ciphertext, n_keep: int) -> C.Ciphertext:
-    """Keep the first n_keep slots (crypto/basics.go:110-127)."""
-    if n_keep == cps.slots:
+def mask_trunc(cps, ct: C.Ciphertext, n_keep: int, scale_const: float = 1.0) -> C.Ciphertext:
+    """Keep the first n_keep slots, optionally folding a scalar constant
+    into the mask plaintext (saves a level vs a separate CMultConst)
+    (crypto/basics.go:110-127)."""
+    if n_keep == cps.slots and scale_const == 1.0:
         return ct
     m = np.zeros(cps.slots)
-    m[:n_keep] = 1.0
+    m[:n_keep] = scale_const
     return cps.ctx.rescale(cps.ctx.mul_plain(ct, _mask_pt(cps, m, ct.nmod)))
+
+
+def cmult_with_const(cps, X: CipherVector, Y: CipherVector, c: float) -> CipherVector:
+    """(x * y) * c spending two levels total (mult + const fused before the
+    double rescale)."""
+    out = []
+    for x, y in zip(X, Y):
+        t = cps.ctx.mul_relin(x, y, cps.rlk)
+        t = cps.ctx.mul_const(t, c)
+        t = cps.ctx.rescale(cps.ctx.rescale(t))
+        out.append(t)
+    return out
 
 
 def rebalance(cps, ct: C.Ciphertext) -> Optional[C.Ciphertext]:
@@ -299,3 +313,50 @@ def _align(ctx, x: C.Ciphertext, ref: C.Ciphertext) -> C.Ciphertext:
     if x.nmod > ref.nmod:
         return ctx.drop_to(x, ref.nmod)
     return x
+
+
+def evaluate_chebyshev_interactive(net, cps, cv, coeffs, a, b, bootstrap_fn):
+    """Chebyshev evaluation of a CipherVector with automatic collective
+    refresh when levels run low (the reference bootstraps before the
+    evaluation when needed, mpc/mhe.go:640-644; with the paired-prime scheme
+    we refresh *during* the T-recurrence instead)."""
+    return [
+        _cheby_one(net, cps, ct, coeffs, a, b, bootstrap_fn) for ct in cv
+    ]
+
+
+def _cheby_one(net, cps, ct, coeffs, a, b, bootstrap_fn):
+    ctx = cps.ctx
+    low = ctx.params.base_nmod + 4
+
+    def ensure(x):
+        if x.nmod < low:
+            return bootstrap_fn(net, cps, x, -1)
+        return x
+
+    ct = ensure(ct)
+    y = ctx.rescale(ctx.mul_const(ct, 2.0 / (b - a)))
+    y = ctx.add_const(y, (-a - b) / (b - a))
+    acc = ctx.rescale(ctx.mul_const(y, float(coeffs[1])))
+    acc = ctx.add_const(acc, float(coeffs[0]))
+    t_prev = None
+    t_cur = y
+    for j in range(2, len(coeffs)):
+        y = ensure(y)
+        t_cur = ensure(t_cur)
+        if t_prev is None:
+            t_next = ctx.rescale(ctx.mul_relin(y, y, cps.rlk))
+            t_next = ctx.add_const(
+                ctx.rescale(ctx.mul_const(t_next, 2.0)), -1.0
+            )
+        else:
+            ty = ctx.rescale(ctx.mul_relin(t_cur, y, cps.rlk))
+            ty2 = ctx.rescale(ctx.mul_const(ty, 2.0))
+            t_next = ctx.sub(ty2, ctx.drop_to(ensure(t_prev), ty2.nmod))
+        if abs(float(coeffs[j])) > 1e-12:
+            term = ctx.rescale(ctx.mul_const(t_next, float(coeffs[j])))
+            acc = ensure(acc)
+            nm = min(acc.nmod, term.nmod)
+            acc = ctx.add(ctx.drop_to(acc, nm), ctx.drop_to(term, nm))
+        t_prev, t_cur = t_cur, t_next
+    return acc

@@ -1,0 +1,442 @@
+"""Phase 3: association tests.
+
+Re-implementation of gwas/assoc.go:
+
+* combined covariate basis: joint QR of [1 | covariates | PCs] with the
+  first column replaced by the normalized all-ones vector
+  (computeCombinedQV2, gwas/assoc.go:69-126);
+* linear (Pearson/CQF) statistics: project y onto the complement of Q,
+  compute sx/sxx/sxy/sy/syy via one concatenated matmult [Q | (1-u) | y~] x G
+  per genotype block, variance -> stdinv in secret shares, and
+  stat = stdinvx * stdinvy * (sxy - sx sy / n)
+  (GetAssociationStats, gwas/assoc.go:443-884);
+* logistic regression: covariate-only Newton iterations with an encrypted
+  sigmoid (Chebyshev) and an SS inverse-sqrt Hessian, then per-SNP score
+  tests (LrNewtonBasedCovOnly / gWY, gwas/assoc.go:955-1476).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..crypto import basics as B
+from ..mpc import linalg, mhe, ss_he
+from ..mpc.mhe import CryptoParams
+from ..mpc.mpc import MPC
+from . import matmult as MM
+from .qrfact import net_dqr_enc
+
+
+def compute_combined_q(
+    mpc: MPC,
+    cps: CryptoParams,
+    cov: Optional[np.ndarray],  # local covariates [n_local, ncov] (float)
+    Qpc: Optional[B.CipherMatrix],
+    nrows_all: List[int],
+    cov_all_ones: bool,
+) -> Tuple[B.CipherMatrix, int]:
+    """computeCombinedQV2 (gwas/assoc.go:69-126): QR of
+    [all-ones | covariates | PCs], first column then replaced with the
+    normalized all-ones vector.  Returns (Q, ncols)."""
+    pid = mpc.pid
+    slots = cps.slots if cps else 0
+    npc = len(Qpc) if Qpc and Qpc[0] is not None else (len(Qpc) if Qpc else 0)
+
+    if pid > 0:
+        cols = []
+        if not cov_all_ones:
+            cols.append(np.ones(nrows_all[pid]))
+        for j in range(cov.shape[1]):
+            cols.append(cov[:, j])
+        comb = [B.encrypt_float_vector(cps, c) for c in cols]
+        if Qpc:
+            comb = comb + [q for q in Qpc]
+        ncols = len(comb)
+    else:
+        ncov = cov  # party 0 receives the count via cov argument (int)
+        ncols = int(ncov) + (0 if cov_all_ones else 1) + (len(Qpc) if Qpc else 0)
+        comb = [None] * ncols
+
+    Q = net_dqr_enc(cps, mpc, comb, nrows_all)
+
+    if pid > 0:
+        # replace first column with normalized all-ones (gwas/assoc.go:104-120)
+        ones = B.cadd_const(cps, B.czeros(cps, len(Q[0])), 1.0)
+        nloc = nrows_all[pid]
+        qfirst = []
+        for i in range(len(Q[0])):
+            nk = slots if i < len(Q[0]) - 1 else nloc - (len(Q[0]) - 1) * slots
+            qfirst.append(B.mask_trunc(cps, ones[i], nk))
+        Q[0] = qfirst
+        Q, _ = B.flatten_levels(cps, Q)
+    return Q, ncols
+
+
+def get_association_stats(
+    mpc: MPC,
+    cps: CryptoParams,
+    geno_blocks: Optional[List[np.ndarray]],  # local int8 blocks; None at pid0
+    pheno: Optional[np.ndarray],
+    cov: Optional[np.ndarray],
+    Qpc: Optional[B.CipherMatrix],
+    nrows_all: List[int],
+    cov_all_ones: bool = False,
+    cache_prefix: Optional[str] = None,
+):
+    """Linear association statistics (gwas/assoc.go:443-884).  Returns
+    (stats CipherVector, filter) at data parties; (None, None) at party 0."""
+    ring = mpc.ring
+    pid = mpc.pid
+    slots = cps.slots if cps else 0
+    tot_n = sum(nrows_all[1:])
+    inv_n = 1.0 / tot_n
+    sqrt_inv_n = math.sqrt(inv_n)
+
+    ncov_in = cov.shape[1] if (pid > 0 and cov is not None) else (cov or 0)
+    Q, ncols = compute_combined_q(mpc, cps, cov if pid > 0 else ncov_in, Qpc, nrows_all, cov_all_ones)
+
+    num_blocks = len(geno_blocks) if pid > 0 else 0
+    if pid == mpc.hub_pid:
+        mpc.net.send_int(num_blocks, 0)
+    elif pid == 0:
+        num_blocks = mpc.net.recv_int(mpc.hub_pid)
+
+    if pid > 0:
+        # ynew = (I - QQ^T) y  (gwas/assoc.go:624-646)
+        y_pt = B.encode_float_vector(cps, pheno.reshape(-1))
+
+        def mmplainfn(cp, a, Bm, j):
+            return B.cpmult(cp, a, Bm[j])
+
+        ynew = MM.dc_matmul_aat_b(cps, mpc, Q, [y_pt], nrows_all, 1, mmplainfn)
+        ynew0 = B.cmult_const(cps, ynew[0], inv_n, rescale=True)
+        ynew0 = mhe.bootstrap_mat_all(mpc.net, cps, [ynew0])[0]
+        ynew0 = [cps.ctx.mul_const_int(ct, -1) for ct in ynew0]
+        ynew0 = B.cpadd(cps, ynew0, y_pt)
+
+        # concat = [Q | y~]; after the combined QR the first column is the
+        # normalized all-ones vector, so sx = sy = 0 (gwas/assoc.go:697-704)
+        concat = [q for q in Q]
+        concat.append(ynew0)
+
+        sxx_blocks, sxy_blocks, filters = [], [], []
+        for b, G in enumerate(geno_blocks):
+            cache_file = f"{cache_prefix}_assoc_{b}.npz" if cache_prefix else None
+            out, dsum, dsq = MM.mat_mult_stream(
+                cps, [c for c in concat], G, compute_sums=True, cache_file=cache_file
+            )
+            out = mhe.aggregate_cmat(mpc.net, cps, out)
+            out = mhe.bootstrap_mat(mpc.net, cps, out, -1)
+
+            nq_cols = len(Q)
+            # B = Q^T G / sqrt(n), skipping the all-ones column whose
+            # contribution is handled by the dosage sums (gwas/assoc.go:728-768)
+            Bmat = [
+                B.cmult_const(cps, out[i + 1], sqrt_inv_n, rescale=True)
+                for i in range(nq_cols - 1)
+            ]
+            sxy_blocks.append(out[nq_cols])
+
+            sx2 = mhe.aggregate_cvec(
+                mpc.net, cps, B.encrypt_float_vector(cps, dsum)
+            )
+            sx2 = B.cmult_const(cps, sx2, sqrt_inv_n, rescale=True)
+            sxx = B.encrypt_float_vector(cps, dsq)
+            if pid == mpc.hub_pid:
+                for term_vec in Bmat + [sx2]:
+                    tt = B.cmult(cps, term_vec, term_vec)
+                    nm = min(sxx[0].nmod, tt[0].nmod)
+                    sxx = [
+                        cps.ctx.sub(cps.ctx.drop_to(a_, nm), cps.ctx.drop_to(b_, nm))
+                        for a_, b_ in zip(sxx, tt)
+                    ]
+            sxx = mhe.aggregate_cvec(mpc.net, cps, sxx)
+            sxx_blocks.append(sxx)
+
+            msnp = G.shape[1]
+            nct = 1 + (msnp - 1) // slots
+            fl = np.zeros(nct * slots, dtype=bool)
+            fl[:msnp] = True
+            filters.append(fl)
+
+        sxy = [ct for blk in sxy_blocks for ct in blk]
+        varx = [ct for blk in sxx_blocks for ct in blk]
+        out_filter = np.concatenate(filters)
+        nsnps = int(out_filter.sum())
+        num_ctx = len(varx)
+        if pid == mpc.hub_pid:
+            mpc.net.send_int(num_ctx, 0)
+            mpc.net.send_int(nsnps, 0)
+
+        # vary = syy (sy = 0 with the all-ones covariate in Q)
+        ysq = B.cmult(cps, ynew0, ynew0)
+        syy_loc = B.inner_sum_all(cps, ysq)
+        syy = mhe.aggregate_ct(mpc.net, cps, syy_loc)
+        vary = mhe.collective_bootstrap(mpc.net, cps, syy, -1)
+    else:
+        num_ctx = mpc.net.recv_int(mpc.hub_pid)
+        nsnps = mpc.net.recv_int(mpc.hub_pid)
+        varx = [None] * num_ctx
+        vary = None
+        sxy = None
+        out_filter = None
+
+    mpc.assert_sync()
+    stdinvx, stdinvy = compute_std_inv(mpc, cps, varx, vary, nsnps, out_filter)
+
+    if pid > 0:
+        stats = B.cmult(cps, sxy, stdinvx)
+        stats = B.cmult_scalar(cps, stats, stdinvy)
+        return stats, out_filter
+    return None, None
+
+
+def compute_std_inv(mpc, cps, varx, vary, nsnps, filt):
+    """varx/vary -> 1/sqrt via SS (computeStdInv, gwas/assoc.go:887-953)."""
+    ring = mpc.ring
+    pid = mpc.pid
+    slots = cps.slots if cps else 1
+    varx_ss = ss_he.cvec_to_ss(mpc, cps, varx, -1, slots * len(varx))
+    vary_ss = ss_he.ciphertext_to_ss(mpc, cps, vary, -1, 1)
+
+    n_all = varx_ss.shape[0]
+    var_ss = ring.zeros((nsnps + 1,))
+    if pid > 0:
+        idx = np.where(filt)[0][:nsnps]
+        var_ss = var_ss.at[:nsnps].set(varx_ss[jnp.asarray(idx)])
+    var_ss = var_ss.at[nsnps].set(vary_ss[0])
+
+    stdinv_ss = mpc.sqrt_and_sqrt_inverse(var_ss)[1]
+
+    stdinvx_ss = ring.zeros((n_all,))
+    if pid > 0:
+        idx = np.where(filt)[0][:nsnps]
+        stdinvx_ss = stdinvx_ss.at[jnp.asarray(idx)].set(stdinv_ss[:nsnps])
+
+    stdinvx_cv = ss_he.ss_to_cmat(mpc, cps, stdinvx_ss[None])
+    stdinvy_ct = ss_he.ss_to_ciphertext(mpc, cps, stdinv_ss[nsnps : nsnps + 1][None])
+    if pid > 0:
+        stdinvy_ct = B.rotate_and_add(cps, stdinvy_ct, cps.slots)
+        return stdinvx_cv[0], stdinvy_ct
+    return None, None
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression (gwas/assoc.go:955-1476)
+
+
+def _sigmoid_coeffs(a: float, b: float, degree: int):
+    return B.chebyshev_coeffs(lambda x: 1.0 / (1.0 + math.exp(-x)), a, b, degree)
+
+
+def compute_grad_and_inv_hessian(
+    mpc,
+    cps,
+    Cm,
+    C_scaled_up,
+    y: np.ndarray,
+    weights,
+    approx,
+    nrows_all,
+    skip_intercept: bool,
+    compute_grad: bool,
+    inverse_mat_scale: float,
+):
+    """One Newton step's ingredients (gwas/assoc.go:992-1171).
+    Returns (grad, ZTwZInv, BT, Wz, yTilde, w)."""
+    from ..mpc import linalg as linalg_mod
+
+    ctx = cps.ctx
+    tot_n = sum(nrows_all[1:])
+    n_local = len(y)
+    ncov = len(Cm)
+
+    # u / pHat: sigmoid(C w)
+    if skip_intercept:
+        cov_intercept = B.encrypt_float_vector(cps, np.zeros(n_local))
+    else:
+        cov_intercept = MM.cmult_mat_col_times_col_to_col(
+            cps, Cm, weights, len(Cm[0])
+        )
+    a_lo, b_hi, degree = approx
+    coeffs = _sigmoid_coeffs(a_lo, b_hi, degree)
+    p_hat = B.evaluate_chebyshev_interactive(
+        mpc.net, cps, cov_intercept, coeffs, a_lo, b_hi, mhe.collective_bootstrap
+    )
+    p_hat = mhe.bootstrap_mat_all(mpc.net, cps, [p_hat])[0]
+
+    y_pt = B.encode_float_vector(cps, y)
+    y_tilde = [ctx.mul_const_int(ct, -1) for ct in p_hat]
+    y_tilde = B.cpadd(cps, y_tilde, y_pt)
+
+    grad = None
+    if compute_grad:
+        grad = MM.cmult_mat_inner_prod_vector(cps, Cm, y_tilde)
+        grad = mhe.aggregate_cvec(mpc.net, cps, grad)
+
+    # w = pHat (1 - pHat)
+    p_sq = B.cmult(cps, p_hat, p_hat)
+    nm = min(p_hat[0].nmod, p_sq[0].nmod)
+    w_vec = [
+        ctx.sub(ctx.drop_to(a_, nm), ctx.drop_to(b_, nm))
+        for a_, b_ in zip(p_hat, p_sq)
+    ]
+    w_vec = mhe.bootstrap_mat_all(mpc.net, cps, [w_vec])[0]
+
+    # V = w o C_scaled_up
+    Wz = [B.cmult(cps, w_vec, C_scaled_up[i]) for i in range(ncov)]
+
+    # W = C^T Wz, inverted via SS eigendecomposition
+    ZTwZ = MM.cmult_mat_inner_prod(cps, Cm, Wz)
+    ZTwZ = mhe.aggregate_cmat(mpc.net, cps, ZTwZ)
+    ZTwZ = mhe.bootstrap_mat(mpc.net, cps, ZTwZ, -1)
+    ZTwZ = [
+        B.cmult_const(cps, row, 1.0 / (tot_n / inverse_mat_scale), rescale=True)
+        for row in ZTwZ
+    ]
+
+    ztwz_ss = ss_he.cmat_to_ss(mpc, cps, ZTwZ, -1, ncov)
+    b_ss = linalg_mod.matrix_inverse_sqrt_svd(mpc, ztwz_ss)
+    bt_cm = ss_he.ss_to_cmat(mpc, cps, jnp.swapaxes(b_ss, 0, 1))
+    if mpc.pid == 0:
+        return None, None, None, None, None, None
+    scale_back = math.sqrt((inverse_mat_scale * 2) / math.sqrt(tot_n))
+    BT = [B.cmult_const(cps, row, scale_back, rescale=True) for row in bt_cm]
+    ZTwZInv = MM.cmult_mat_inner_prod(cps, BT, [row for row in BT])
+    return grad, ZTwZInv, BT, Wz, y_tilde, w_vec
+
+
+def lr_newton_cov_only(
+    mpc, cps, Cm, y, epochs, nrows_all, approx, inverse_mat_scale
+):
+    """Covariate-only Newton iterations (LrNewtonBasedCovOnly,
+    gwas/assoc.go:955-990).  Cm is the combined basis scaled by 1/sqrt(n)."""
+    ctx = cps.ctx
+    tot_n = sum(nrows_all[1:])
+    C_scaled = B.cmult_const_mat(cps, Cm, math.sqrt(tot_n), rescale=True)
+    weights = B.encrypt_float_vector(cps, np.zeros(cps.slots))
+    for i in range(epochs):
+        grad, inv_hess, _, _, _, _ = compute_grad_and_inv_hessian(
+            mpc, cps, Cm, C_scaled, y, weights, approx, nrows_all,
+            i == 0, True, inverse_mat_scale,
+        )
+        step = MM.cmult_mat_col_times_col_to_col(cps, inv_hess, grad, len(weights))
+        # step is packed per covariate slot
+        step_packed = MM.cmult_mat_inner_prod_vector(cps, inv_hess, grad) if False else step
+        nm = min(weights[0].nmod, step[0].nmod)
+        weights = [
+            ctx.add(ctx.drop_to(a_, nm), ctx.drop_to(b_, nm))
+            for a_, b_ in zip(weights, step[: len(weights)])
+        ]
+        weights = mhe.bootstrap_mat_all(mpc.net, cps, [weights])[0]
+    return weights
+
+
+def gwy_score_test(
+    mpc, cps, Cm, geno_blocks, y, weights, approx, nrows_all,
+    inverse_mat_scale, cache_prefix=None,
+):
+    """Per-SNP logistic score test (gWY, gwas/assoc.go:1174-1476):
+    t = g~^T y~ / sqrt(g~^T W g~ - correction)."""
+    ctx = cps.ctx
+    ring = mpc.ring
+    slots = cps.slots if cps else 1
+    tot_n = sum(nrows_all[1:])
+    pid = mpc.pid
+
+    if pid > 0:
+        C_scaled = B.cmult_const_mat(cps, Cm, math.sqrt(tot_n), rescale=True)
+        _, ZTwZInv, BT, Wz, y_tilde, w_vec = compute_grad_and_inv_hessian(
+            mpc, cps, Cm, C_scaled, y, weights, approx, nrows_all,
+            False, False, inverse_mat_scale,
+        )
+        ncov = len(Cm)
+        n_local = len(y)
+        WzZTwZInv = MM.cmult_mat_col_times_row_to_col(cps, Wz, ZTwZInv, ncov)
+        WzZTwZInv = mhe.bootstrap_mat_all(mpc.net, cps, WzZTwZInv)
+        WzBT = MM.cmult_mat_col_times_row_to_col(cps, Wz, BT, ncov)
+        WzBT = mhe.bootstrap_mat_all(mpc.net, cps, WzBT)
+
+        # o = Wz (Z^T W Z)^{-1} Z^T y~
+        y_tilde = mhe.bootstrap_mat_all(mpc.net, cps, [y_tilde])[0]
+        ZTy = MM.cmult_mat_inner_prod_vector(cps, C_scaled, y_tilde)
+        ZTy = mhe.aggregate_cvec(mpc.net, cps, ZTy)
+        ZTy = mhe.bootstrap_mat(mpc.net, cps, [ZTy], -1)[0]
+        o_vec = MM.cmult_mat_col_times_col_to_col(cps, WzZTwZInv, ZTy, len(Wz[0]))
+        o_vec = B.cmult_const(cps, o_vec, 1.0 / tot_n, rescale=True)
+        o_vec = mhe.bootstrap_mat_all(mpc.net, cps, [o_vec])[0]
+    else:
+        compute_grad_and_inv_hessian(
+            mpc, cps, None, None, np.zeros(0), None, approx, nrows_all,
+            False, False, inverse_mat_scale,
+        )
+
+    results, out_filt = [], []
+    nblocks = len(geno_blocks) if pid > 0 else mpc.net.recv_int(mpc.hub_pid)
+    if pid == mpc.hub_pid:
+        mpc.net.send_int(nblocks, 0)
+    for blk in range(nblocks):
+        if pid > 0:
+            G = geno_blocks[blk]
+            msnp = G.shape[1]
+            nsnp_ct = 1 + (msnp - 1) // slots
+            if pid == mpc.hub_pid:
+                mpc.net.send_int(msnp, 0)
+            # b-part: (g^T W z BT)^2 summed over covariates
+            ztwbt_g, _, _ = MM.mat_mult_stream(cps, WzBT, G)
+            ztwbt_g = mhe.aggregate_cmat(mpc.net, cps, ztwbt_g)
+            ztwbt_g = mhe.bootstrap_mat(mpc.net, cps, ztwbt_g, -1)
+            gTW2g = B.czeros(cps, nsnp_ct)
+            for i in range(len(ztwbt_g)):
+                sq = B.cmult(cps, ztwbt_g[i], ztwbt_g[i])
+                nm = min(gTW2g[0].nmod, sq[0].nmod)
+                gTW2g = [
+                    ctx.add(ctx.drop_to(a_, nm), ctx.drop_to(b_, nm))
+                    for a_, b_ in zip(gTW2g, sq)
+                ]
+            gTW2g = B.cmult_const(cps, gTW2g, 1.0 / tot_n, rescale=True)
+
+            # x-part: g^T W g with squared genotypes
+            gTWg, _, _ = MM.mat_mult_stream(cps, [w_vec], G, square=True)
+            gTWg = mhe.aggregate_cmat(mpc.net, cps, gTWg)
+            nm = min(gTWg[0][0].nmod, gTW2g[0].nmod)
+            denom = [
+                ctx.sub(ctx.drop_to(a_, nm), ctx.drop_to(b_, nm))
+                for a_, b_ in zip(gTWg[0], gTW2g)
+            ]
+            denom = mhe.bootstrap_mat(mpc.net, cps, [denom], -1)[0]
+
+            # numerator: g^T y~ - g^T o
+            gTy, _, _ = MM.mat_mult_stream(cps, [y_tilde], G)
+            gTo, _, _ = MM.mat_mult_stream(cps, [o_vec], G)
+            nm = min(gTy[0][0].nmod, gTo[0][0].nmod)
+            numer = [
+                ctx.sub(ctx.drop_to(a_, nm), ctx.drop_to(b_, nm))
+                for a_, b_ in zip(gTy[0], gTo[0])
+            ]
+            numer = mhe.aggregate_cvec(mpc.net, cps, numer)
+            numer = mhe.bootstrap_mat(mpc.net, cps, [numer], -1)[0]
+        else:
+            msnp = mpc.net.recv_int(mpc.hub_pid)
+            nsnp_ct = 1 + (msnp - 1) // slots
+            denom = [None] * nsnp_ct
+            numer = [None] * nsnp_ct
+
+        numer_ss = ss_he.cvec_to_ss(mpc, cps, numer, -1, slots * nsnp_ct)
+        denom_ss = ss_he.cvec_to_ss(mpc, cps, denom, -1, slots * nsnp_ct)
+        _, inv_sqrt = mpc.sqrt_and_sqrt_inverse(denom_ss, True)
+        t_stat = mpc.ss_mult_elem(numer_ss, inv_sqrt)
+        t_stat = mpc.trunc(t_stat)
+        out = ss_he.ss_to_cmat(mpc, cps, t_stat[None])
+        if pid > 0:
+            results.extend(out[0])
+            fl = np.zeros(nsnp_ct * slots, bool)
+            fl[:msnp] = True
+            out_filt.append(fl)
+    if pid > 0:
+        return results, np.concatenate(out_filt)
+    return None, None

@@ -314,27 +314,28 @@ def qx_lazy_norm_stream(
     x_mean: B.CipherVector,
     x_stdinv: B.CipherVector,
     num_ind: int,
+    post_scale: float = 1.0,
 ) -> B.CipherMatrix:
     """Q (kp x nsnp) times X (nsnp x nind) with lazy normalization:
-    (Q*S)*X - ((Q*S)*m) 1^T  (gwas/matmult.go:27-77)."""
+    [(Q*S)*X - ((Q*S)*m) 1^T] * post_scale  (gwas/matmult.go:27-77).
+    The constant rides in the trailing-slot mask and the whole result is
+    refreshed once at the end (the reference bootstraps twice)."""
     if mpc.pid == 0:
         return None
     slots = cps.slots
     QS = [B.cmult(cps, Q[i], x_stdinv) for i in range(len(Q))]
     out = mat_mult_cached(cps, QS, xt_cache)
-    out = mhe.bootstrap_mat_all(mpc.net, cps, out)
     for i in range(len(QS)):
         qsm = B.inner_prod(cps, QS[i], x_mean)  # value in all slots
-        out[i] = [cps.ctx.sub(ct, cps.ctx.drop_to(_bc_ct(qsm, ct), ct.nmod)) for ct in out[i]]
-        # zero out trailing slots
+        nm = min(out[i][0].nmod, qsm.nmod)
+        out[i] = [
+            cps.ctx.sub(cps.ctx.drop_to(ct, nm), cps.ctx.drop_to(qsm, nm))
+            for ct in out[i]
+        ]
         for j in range(len(out[i])):
             n_keep = slots if j < len(out[i]) - 1 else ((num_ind - 1) % slots) + 1
-            out[i][j] = B.mask_trunc(cps, out[i][j], n_keep)
-    return out
-
-
-def _bc_ct(ct: C.Ciphertext, ref: C.Ciphertext) -> C.Ciphertext:
-    return ct
+            out[i][j] = B.mask_trunc(cps, out[i][j], n_keep, post_scale)
+    return mhe.bootstrap_mat_all(mpc.net, cps, out)
 
 
 def qxt_lazy_norm_stream(
@@ -344,19 +345,101 @@ def qxt_lazy_norm_stream(
     x_cache: List[List[DiagBlock]],
     x_mean: B.CipherVector,
     x_stdinv: B.CipherVector,
+    post_scale: float = 1.0,
 ) -> B.CipherMatrix:
     """Q (kp x nind) times X^T (nind x nsnp) with lazy normalization:
-    ((Q X^T) - (Q 1) m^T) * S  (gwas/matmult.go:83-116)."""
+    ((Q X^T) - (Q 1) m^T) * S * post_scale  (gwas/matmult.go:83-116).
+    Bootstraps once after the mean correction; the stdinv multiply and the
+    constant share a fused double-rescale."""
     if mpc.pid == 0:
         return None
     out = mat_mult_cached(cps, Q, x_cache)
-    out = mhe.bootstrap_mat_all(mpc.net, cps, out)
     for i in range(len(out)):
         row_sum = B.inner_sum_all(cps, Q[i])
         q1m = B.cmult_scalar(cps, x_mean, row_sum)
+        nm = min(out[i][0].nmod, q1m[0].nmod)
         out[i] = [
-            cps.ctx.sub(cps.ctx.drop_to(o, min(o.nmod, m.nmod)), cps.ctx.drop_to(m, min(o.nmod, m.nmod)))
+            cps.ctx.sub(cps.ctx.drop_to(o, nm), cps.ctx.drop_to(m, nm))
             for o, m in zip(out[i], q1m)
         ]
-        out[i] = B.cmult(cps, out[i], x_stdinv)
+    out = mhe.bootstrap_mat_all(mpc.net, cps, out)
+    for i in range(len(out)):
+        out[i] = B.cmult_with_const(cps, out[i], x_stdinv, post_scale)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cipher-cipher matmult helpers for the logistic path
+# (gwas/matmult.go:1915-2066)
+
+
+def cmult_mat_inner_prod(cps, Cm, Wz):
+    """Row-packed C^T Wz: out[i] has <C[i], Wz[j]> in slot j
+    (CMultMatInnerProd)."""
+    ncols = len(Wz)
+    out = []
+    for i in range(len(Cm)):
+        acc = None
+        for j in range(ncols):
+            ip = B.inner_prod(cps, Cm[i], Wz[j])  # value in all slots
+            m = B.mask(cps, ip, j, False)
+            acc = m if acc is None else cps.ctx.add(
+                cps.ctx.drop_to(acc, min(acc.nmod, m.nmod)),
+                cps.ctx.drop_to(m, min(acc.nmod, m.nmod)),
+            )
+        out.append([acc])
+    return out
+
+
+def cmult_mat_inner_prod_vector(cps, Cm, yv):
+    """Packed C^T y: slot i holds <C[i], y> (CMultMatInnerProdVector)."""
+    acc = None
+    for i in range(len(Cm)):
+        ip = B.inner_prod(cps, Cm[i], yv)
+        m = B.mask(cps, ip, i, False)
+        acc = m if acc is None else cps.ctx.add(
+            cps.ctx.drop_to(acc, min(acc.nmod, m.nmod)),
+            cps.ctx.drop_to(m, min(acc.nmod, m.nmod)),
+        )
+    return [acc]
+
+
+def cmult_mat_col_times_col_to_col(cps, Cm, packed, n_ct):
+    """sum_i C[i] * packed[slot i] -> column vector
+    (CMultMatColTimesColToCol)."""
+    out = None
+    for i in range(len(Cm)):
+        w_i = B.mask(cps, packed[0], i, False)
+        w_i = B.rotate_and_add(cps, w_i, cps.slots)
+        term = B.cmult_scalar(cps, Cm[i], w_i)
+        if out is None:
+            out = term
+        else:
+            nm = min(out[0].nmod, term[0].nmod)
+            out = [
+                cps.ctx.add(cps.ctx.drop_to(a, nm), cps.ctx.drop_to(b_, nm))
+                for a, b_ in zip(out, term)
+            ]
+    return out
+
+
+def cmult_mat_col_times_row_to_col(cps, Wz, M, ncols):
+    """Column-encrypted Wz (n x c) times row-packed M (c x c) -> column-
+    encrypted (n x c) (CMultMatColTimesRowToCol)."""
+    out = []
+    for k in range(ncols):
+        acc = None
+        for j in range(len(Wz)):
+            mjk = B.mask(cps, M[j][0], k, False)
+            mjk = B.rotate_and_add(cps, mjk, cps.slots)
+            term = B.cmult_scalar(cps, Wz[j], mjk)
+            if acc is None:
+                acc = term
+            else:
+                nm = min(acc[0].nmod, term[0].nmod)
+                acc = [
+                    cps.ctx.add(cps.ctx.drop_to(a, nm), cps.ctx.drop_to(b_, nm))
+                    for a, b_ in zip(acc, term)
+                ]
+        out.append(acc)
     return out

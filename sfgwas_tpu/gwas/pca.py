@@ -1,0 +1,221 @@
+"""Phase 2: distributed PCA (randomized sketch + power iteration).
+
+Re-implementation of gwas/pca.go:49-495:
+
+* count-sketch of local individuals into kp buckets with random signs
+  (gwas/pca.go:123-165), aggregated across parties in HE;
+* mean/variance/stdinv of each SNP in secret shares with the near-zero
+  variance guard (gwas/pca.go:193-236), converted to HE;
+* lazily-normalized power iterations Q <- QR(Q X^T X) using the BSGS
+  matmult caches (gwas/pca.go:339-371) with the same 1/sqrt(n), 1/sqrt(m)
+  rescalings;
+* Gram matrix Q Q^T via encrypted inner products, eigendecomposition +
+  oblivious sort in secret shares, PC subspace extraction V * Q
+  (gwas/pca.go:399-489)."""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..crypto import basics as B
+from ..mpc import linalg, mhe, ss_he
+from ..mpc.mhe import CryptoParams
+from ..mpc.mpc import MPC
+from . import matmult as MM
+
+
+def distributed_pca(
+    mpc: MPC,
+    cps: CryptoParams,
+    X: Optional[np.ndarray],  # local individuals x PCA SNPs (int8); None at pid 0
+    nsnp: int,
+    nrows_all: List[int],
+    npc: int,
+    num_oversample: int,
+    num_power_iters: int,
+    cache_prefix: Optional[str] = None,
+) -> B.CipherMatrix:
+    ring = mpc.ring
+    pid = mpc.pid
+    fb, kb = mpc.frac_bits, mpc.data_bits
+    slots = cps.slots if cps else 0
+    kp = npc + num_oversample
+    tot_ind = sum(nrows_all[1:])
+    nind = X.shape[0] if X is not None else 0
+    inv_sqrt_m = 1.0 / math.sqrt(nsnp)
+    inv_sqrt_n = 1.0 / math.sqrt(tot_ind)
+
+    # Preprocess diagonal caches for X (ind x snp) and X^T (snp x ind)
+    x_cache = xt_cache = None
+    if pid > 0:
+        x_cache = MM.preprocess_matrix(
+            cps, X, cache_file=f"{cache_prefix}_x.npz" if cache_prefix else None
+        )
+        xt_cache = MM.preprocess_matrix(
+            cps,
+            np.ascontiguousarray(X.T),
+            cache_file=f"{cache_prefix}_xt.npz" if cache_prefix else None,
+        )
+
+    # ---- sketch + first/second moments (gwas/pca.go:122-191)
+    Q = None
+    bucket_count = np.zeros(kp, dtype=np.int64)
+    xsum = np.zeros(nsnp, dtype=np.int64)
+    x2sum = np.zeros(nsnp, dtype=np.int64)
+    if pid > 0:
+        g = mpc.rand.table[mpc.pid]  # local (private) PRG, gwas/pca.go:130
+        bucket = g.integers(0, kp, size=nind)
+        sgn = g.integers(0, 2, size=nind) * 2 - 1
+        pos_count = np.zeros(kp, dtype=np.int64)
+        local_sketch = np.zeros((kp, nsnp))
+        Xf = X.astype(np.float64)
+        for b in range(kp):
+            sel = bucket == b
+            bucket_count[b] = sel.sum()
+            pos_count[b] = (sgn[sel] > 0).sum()
+            if sel.any():
+                local_sketch[b] = (sgn[sel][:, None] * Xf[sel]).sum(axis=0)
+        xsum = X.astype(np.int64).sum(axis=0)
+        x2sum = (X.astype(np.int64) ** 2).sum(axis=0)
+
+        Qloc = B.encrypt_float_matrix(cps, local_sketch)
+        Q = mhe.aggregate_cmat(mpc.net, cps, Qloc)
+        bucket_count = mhe.aggregate_int_vec(mpc.net, bucket_count)
+        pos_count = mhe.aggregate_int_vec(mpc.net, pos_count)
+
+    # mean / var / stdinv in SS (local counts are shares)
+    inv_n = 1.0 / tot_ind
+    if pid > 0:
+        sx = ring.from_i32(jnp.asarray(xsum, jnp.int32))
+        sx2_counts = ring.from_i32(jnp.asarray(x2sum, jnp.int32))
+        scale_c = ring.const(int(round(inv_n * (1 << (2 * fb)))))
+        sx = ring.mul(sx, jnp.broadcast_to(scale_c, sx.shape))
+        sx2 = ring.mul(sx2_counts, jnp.broadcast_to(scale_c, sx2_counts.shape))
+    else:
+        sx = ring.zeros((nsnp,))
+        sx2 = ring.zeros((nsnp,))
+
+    x_mean_ss = mpc.trunc(sx, kb, fb)
+    x_mean_sq = mpc.ss_square_elem(x_mean_ss)
+    sx2 = ring.sub(sx2, x_mean_sq)
+    x_var_ss = mpc.trunc(sx2, kb, fb)
+
+    # near-zero variance -> 1.0 (gwas/pca.go:213-216)
+    zero_thres = ring.const(max(1, int(round(1e-8 * (1 << fb)))))
+    zero_filt = mpc.flip_bit(mpc.not_less_than_public(x_var_ss, zero_thres))
+    one_fb = ring.const(1 << fb)
+    x_var_ss = ring.add(x_var_ss, ring.mul(zero_filt, jnp.broadcast_to(one_fb, zero_filt.shape)))
+
+    _, x_stdinv_ss = mpc.sqrt_and_sqrt_inverse(x_var_ss)
+
+    padded = slots * (1 + (nsnp - 1) // slots) if pid > 0 else nsnp
+    stats = ring.zeros((3, padded))
+    if pid > 0:
+        stats = stats.at[0, :nsnp].set(x_stdinv_ss)
+        stats = stats.at[1, :nsnp].set(x_mean_ss)
+        stats = stats.at[2, :nsnp].set(x_var_ss)
+    out_cm = ss_he.ss_to_cmat(mpc, cps, stats)
+    x_stdinv = x_mean = None
+    if pid > 0:
+        x_stdinv, x_mean = out_cm[0], out_cm[1]
+
+    # ---- initial Q scaling (gwas/pca.go:248-284)
+    if pid > 0:
+        for b in range(kp):
+            inv_cnt = 1.0 / math.sqrt(max(bucket_count[b], 1))
+            mean_weight = int(2 * pos_count[b] - bucket_count[b])
+            mw = B.cmult_const(cps, x_mean, -float(mean_weight), rescale=True)
+            Q[b] = [
+                cps.ctx.add(
+                    cps.ctx.drop_to(q, min(q.nmod, m.nmod)),
+                    cps.ctx.drop_to(m, min(q.nmod, m.nmod)),
+                )
+                for q, m in zip(Q[b], mw)
+            ]
+            Q[b] = B.cmult_const(cps, Q[b], inv_cnt, rescale=True)
+            Q[b] = B.cmult(cps, Q[b], x_stdinv)
+        Q = mhe.bootstrap_mat(mpc.net, cps, Q, -1)
+
+    from .qrfact import net_dqr_enc
+
+    # initial projection to individual space + QR
+    if pid > 0:
+        Qloc = MM.qx_lazy_norm_stream(
+            cps, mpc, Q, xt_cache, x_mean, x_stdinv, nind, post_scale=inv_sqrt_m
+        )
+    else:
+        Qloc = [None] * kp
+    Q = net_dqr_enc(cps, mpc, Qloc, nrows_all)
+
+    # ---- power iterations (gwas/pca.go:339-371)
+    for it in range(num_power_iters):
+        if pid > 0:
+            Qs = MM.qxt_lazy_norm_stream(
+                cps, mpc, Q, x_cache, x_mean, x_stdinv, post_scale=inv_sqrt_n
+            )
+            Qsnp = mhe.aggregate_cmat(mpc.net, cps, Qs)
+            Qsnp = mhe.bootstrap_mat(mpc.net, cps, Qsnp, -1)
+            Qloc = MM.qx_lazy_norm_stream(
+                cps, mpc, Qsnp, xt_cache, x_mean, x_stdinv, nind,
+                post_scale=inv_sqrt_m,
+            )
+        else:
+            Qloc = [None] * kp
+        if it == num_power_iters - 1:
+            Q = Qloc
+        else:
+            Q = net_dqr_enc(cps, mpc, Qloc, nrows_all)
+
+    # ---- Gram matrix Z = Q Q^T (gwas/pca.go:399-442)
+    if pid > 0:
+        nct = ((kp * kp) - 1) // slots + 1
+        zloc = B.czeros(cps, nct)
+        for i in range(kp):
+            for j in range(i, kp):
+                iprod = B.inner_prod(cps, Q[i], Q[j])
+                for idx in ([i * kp + j, j * kp + i] if i != j else [i * kp + j]):
+                    ctid, slotid = idx // slots, idx % slots
+                    # iprod holds the value in every slot; mask selects one
+                    masked = B.mask(cps, iprod, slotid, False)
+                    zloc[ctid] = cps.ctx.add(
+                        cps.ctx.drop_to(zloc[ctid], min(zloc[ctid].nmod, masked.nmod)),
+                        cps.ctx.drop_to(masked, min(zloc[ctid].nmod, masked.nmod)),
+                    )
+        z = mhe.aggregate_cvec(mpc.net, cps, zloc)
+        z = B.cmult_const(cps, z, inv_n, rescale=True)
+    else:
+        z = None
+
+    zss = ss_he.cvec_to_ss(mpc, cps, z, -1, kp * kp)
+    zmat = zss.reshape(kp, kp, ring.nlimb)
+
+    # ---- eigendecomposition in SS (gwas/pca.go:444-461)
+    V, L = linalg.eigen_decomp(mpc, zmat)
+    V, L = linalg.sort_rows_descend(mpc, V, L)
+    V = V[:npc]
+
+    v_cm = ss_he.ss_to_cmat(mpc, cps, V)
+
+    # ---- PC subspace: Qpc[r] = sum_c V[r, c] * Q[c] (gwas/pca.go:467-489)
+    if pid == 0:
+        return [None] * npc
+    n_ct_ind = len(Q[0])
+    Qpc = B.czero_mat(cps, n_ct_ind, npc)
+    for r in range(npc):
+        for c in range(kp):
+            ctid, slotid = c // slots, c % slots
+            elem = B.mask(cps, v_cm[r][ctid], slotid, False)
+            elem = B.rotate_and_add(cps, elem, slots)
+            cv = B.cmult_scalar(cps, Q[c], elem)
+            Qpc[r] = [
+                cps.ctx.add(
+                    cps.ctx.drop_to(q, min(q.nmod, v.nmod)),
+                    cps.ctx.drop_to(v, min(q.nmod, v.nmod)),
+                )
+                for q, v in zip(Qpc[r], cv)
+            ]
+    return Qpc

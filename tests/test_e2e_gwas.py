@@ -1,0 +1,183 @@
+"""End-to-end secure GWAS on small synthetic data vs a plaintext oracle.
+
+The oracle mirrors the reference's validation strategy (SURVEY.md §4): the
+same pipeline computed centrally in numpy.  The Pearson statistic with the
+combined covariate basis is deterministic given the QC'd data, so the
+skip-PCA run must match the oracle closely; the full run (randomized PCA)
+is checked for high correlation."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from sfgwas_tpu.gwas.protocol import ProtocolInfo
+from sfgwas_tpu.parallel.transport import LocalCluster
+from sfgwas_tpu.utils.config import Config
+
+NPARTY = 3  # dealer + 2 data parties
+N_PER = [0, 24, 20]
+M = 50
+NCOV = 2
+
+
+def make_data(tmpdir, rng):
+    """Synthetic 2-party genotype/pheno/cov in 'blocks' format."""
+    data = {}
+    for pid in (1, 2):
+        n = N_PER[pid]
+        maf = rng.uniform(0.2, 0.5, size=M)
+        g = (rng.uniform(size=(n, M)) < maf).astype(np.int8) + (
+            rng.uniform(size=(n, M)) < maf
+        ).astype(np.int8)
+        pheno = rng.normal(size=n) + 0.3 * g[:, 0] + 0.2 * g[:, 3]
+        cov = rng.normal(size=(n, NCOV))
+        d = os.path.join(tmpdir, f"party{pid}")
+        os.makedirs(d, exist_ok=True)
+        # two blocks
+        half = M // 2
+        g[:, :half].tofile(os.path.join(d, "geno.0.bin"))
+        g[:, half:].tofile(os.path.join(d, "geno.1.bin"))
+        with open(os.path.join(d, "blocksizes.txt"), "w") as f:
+            f.write(f"{half}\n{M-half}\n")
+        np.savetxt(os.path.join(d, "pheno.txt"), pheno)
+        np.savetxt(os.path.join(d, "cov.txt"), cov)
+        np.savetxt(os.path.join(d, "pos.txt"), np.arange(M) * 1000, fmt="%d")
+        data[pid] = (g, pheno, cov)
+    return data
+
+
+def make_config(tmpdir, pid, skip_pca=True):
+    cfg = Config()
+    cfg.num_main_parties = 2
+    cfg.ckks_params = "TEST8"
+    cfg.num_inds = N_PER
+    cfg.num_snps = M
+    cfg.num_covs = NCOV
+    cfg.gmiss = 0.2
+    cfg.maf_lb = 0.05
+    cfg.hwe_ub = 1000.0
+    cfg.imiss_ub = 1.0
+    cfg.het_lb = 0.0
+    cfg.het_ub = 1.0
+    cfg.skip_pca = skip_pca
+    cfg.num_pcs_to_remove = 2
+    cfg.num_oversampling = 2
+    cfg.num_power_iters = 3
+    cfg.snp_dist_thres = 1
+    d = os.path.join(tmpdir, f"party{pid}")
+    cfg.geno_binary_file_prefix = os.path.join(d, "geno")
+    cfg.geno_block_size_file = os.path.join(d, "blocksizes.txt")
+    cfg.pheno_file = os.path.join(d, "pheno.txt")
+    cfg.covar_file = os.path.join(d, "cov.txt")
+    cfg.snp_position_file = os.path.join(d, "pos.txt")
+    cfg.cache_dir = os.path.join(d, "cache")
+    cfg.output_dir = os.path.join(d, "out")
+    return cfg
+
+
+def run_protocol(tmpdir, skip_pca=True):
+    cluster = LocalCluster(NPARTY)
+    outs = [None] * NPARTY
+    errs = [None] * NPARTY
+
+    def work(pid):
+        try:
+            cfg = make_config(tmpdir, pid if pid > 0 else 1, skip_pca)
+            if pid == 0:
+                cfg.pheno_file = cfg.covar_file = cfg.snp_position_file = ""
+                cfg.cache_dir = os.path.join(tmpdir, "party0", "cache")
+                cfg.output_dir = os.path.join(tmpdir, "party0", "out")
+            prot = ProtocolInfo(cfg, pid, transport=cluster.transport(pid))
+            outs[pid] = prot.gwas()
+        except BaseException as e:  # noqa
+            import traceback
+
+            traceback.print_exc()
+            errs[pid] = e
+
+    ts = [threading.Thread(target=work, args=(p,), daemon=True) for p in range(NPARTY)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=3600)
+    for e in errs:
+        if e:
+            raise e
+    return outs
+
+
+def oracle_stats(data, snp_filt, pcs=None):
+    """Plaintext mirror of the linear association statistic
+    (gwas/assoc.go:688-875 math)."""
+    G = np.concatenate([data[1][0], data[2][0]], axis=0).astype(float)
+    y = np.concatenate([data[1][1], data[2][1]])
+    C = np.concatenate([data[1][2], data[2][2]], axis=0)
+    G = G[:, snp_filt]
+    n = G.shape[0]
+    cols = [np.ones(n), *[C[:, j] for j in range(C.shape[1])]]
+    if pcs is not None:
+        cols += [pcs[:, j] for j in range(pcs.shape[1])]
+    Cfull = np.stack(cols, axis=1)
+    Qm, _ = np.linalg.qr(Cfull)
+    yt = y - Qm @ (Qm.T @ y)
+    Gt = G - Qm @ (Qm.T @ G)
+    sxy = yt @ G
+    sxx = (Gt * Gt).sum(axis=0)
+    syy = yt @ yt
+    return sxy / np.sqrt(sxx) / np.sqrt(syy)
+
+
+def test_e2e_linear_no_pca(tmp_path):
+    rng = np.random.default_rng(99)
+    data = make_data(str(tmp_path), rng)
+    outs = run_protocol(str(tmp_path), skip_pca=True)
+    got = outs[1]
+    assert got is not None
+
+    # reconstruct the QC filter the protocol applied
+    gk = np.loadtxt(
+        os.path.join(str(tmp_path), "party1", "cache", "gkeep.txt")
+    ).astype(bool) if os.path.exists(
+        os.path.join(str(tmp_path), "party1", "cache", "gkeep.txt")
+    ) else None
+    if gk is None:
+        # scan path: recompute from data with the oracle QC
+        gk = oracle_qc(data)
+    want = oracle_stats(data, gk)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    err = np.abs(got - want).max()
+    assert err < 2e-2, (err, got[:5], want[:5])
+    corr = np.corrcoef(got, want)[0, 1]
+    assert corr > 0.999, corr
+
+
+def oracle_qc(data):
+    G = np.concatenate([data[1][0], data[2][0]], axis=0).astype(np.int64)
+    y = np.concatenate([data[1][1], data[2][1]])
+    n = G.shape[0]
+    obs = G >= 0
+    x = np.where(obs, G, 0)
+    nonmiss = obs.sum(axis=0)
+    keep_miss = nonmiss >= int((1 - 0.2) * n)
+    s = x.sum(axis=0)
+    c = 2 * nonmiss
+    maf_ok = (2 * s - c) ** 2 * (1 << 20) <= c.astype(object) ** 2 * int(
+        ((2 * 0.05 - 1) ** 2) * (1 << 20)
+    )
+    ctrl = y < 1
+    a = np.where(obs[ctrl], G[ctrl], 0).sum(axis=0)
+    b = 2 * obs[ctrl].sum(axis=0)
+    chi = np.zeros(G.shape[1])
+    exp = [
+        (b - a).astype(float) ** 2,
+        2 * a.astype(float) * (b - a),
+        a.astype(float) ** 2,
+    ]
+    for i in range(3):
+        gobs = (G[ctrl] == i).sum(axis=0)
+        num = (2 * b * gobs - exp[i]) ** 2
+        chi += num / np.maximum(exp[i], 1e-9)
+    hwe_ok = chi < 2 * b * 1000.0
+    return keep_miss & np.asarray(maf_ok, bool) & hwe_ok

@@ -203,3 +203,61 @@ def net_dqr_enc_party0(cps, mpc, ncols: int, nrows_all: List[int]):
     pid guards; here the same function works for party 0 because every
     network/SS call is pid-guarded internally."""
     return net_dqr_enc(cps, mpc, [None] * ncols, nrows_all)
+
+
+def net_dqr_plain(
+    cps: CryptoParams, mpc: MPC, A_local: np.ndarray, nrows_all: List[int]
+) -> B.CipherMatrix:
+    """DASH-style distributed QR (NetDQRplain, gwas/qrfact.go:319-384):
+    each party QR-factorizes its local plaintext block, the stacked R blocks
+    go through the encrypted QR, and Q = Qloc * Qp is recombined
+    homomorphically.  Noted by the reference as less accurate than the fully
+    encrypted path (gwas/assoc.go:158-159)."""
+    pid = mpc.pid
+    slots = cps.slots if cps else 0
+    ncols = A_local.shape[1] if pid > 0 else 0
+    if pid == mpc.hub_pid:
+        mpc.net.send_int(ncols, 0)
+    elif pid == 0:
+        ncols = mpc.net.recv_int(mpc.hub_pid)
+    nrows_total = sum(nrows_all[1:])
+    scaling = 1.0 / math.sqrt(ncols * (mpc.nparty - 1)) if ncols else 0.0
+
+    if pid > 0:
+        q_loc, r_loc = np.linalg.qr(A_local)
+        q_loc = q_loc * math.sqrt(nrows_total)
+        r_enc = [
+            B.encrypt_float_vector(cps, r_loc[:, j]) for j in range(ncols)
+        ]
+    else:
+        r_enc = [None] * ncols
+
+    ncol_arr = [0] + [ncols] * (mpc.nparty - 1)
+    Qp = net_dqr_enc(cps, mpc, r_enc, ncol_arr)
+
+    if pid == 0:
+        return [None] * ncols
+
+    nrows = nrows_all[pid]
+    nct = ((nrows - 1) // slots) + 1
+    Q: B.CipherMatrix = []
+    for c in range(ncols):
+        acc = None
+        for j in range(ncols):
+            ctid, slotid = j // slots, j % slots
+            elem = B.mask(cps, Qp[c][ctid], slotid, False)
+            elem = B.rotate_and_add(cps, elem, slots)
+            col_pt = B.encode_float_vector(cps, q_loc[:, j])
+            col = [
+                cps.ctx.rescale(cps.ctx.mul_plain(elem, p)) for p in col_pt
+            ]
+            if acc is None:
+                acc = col
+            else:
+                nm = min(acc[0].nmod, col[0].nmod)
+                acc = [
+                    cps.ctx.add(cps.ctx.drop_to(a_, nm), cps.ctx.drop_to(b_, nm))
+                    for a_, b_ in zip(acc, col)
+                ]
+        Q.append(B.cmult_const(cps, acc, scaling, rescale=True))
+    return Q

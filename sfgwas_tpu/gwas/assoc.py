@@ -86,6 +86,7 @@ def get_association_stats(
     nrows_all: List[int],
     cov_all_ones: bool = False,
     cache_prefix: Optional[str] = None,
+    use_cached_combined_q: bool = False,
 ):
     """Linear association statistics (gwas/assoc.go:443-884).  Returns
     (stats CipherVector, filter) at data parties; (None, None) at party 0."""
@@ -96,8 +97,23 @@ def get_association_stats(
     inv_n = 1.0 / tot_n
     sqrt_inv_n = math.sqrt(inv_n)
 
-    ncov_in = cov.shape[1] if (pid > 0 and cov is not None) else (cov or 0)
-    Q, ncols = compute_combined_q(mpc, cps, cov if pid > 0 else ncov_in, Qpc, nrows_all, cov_all_ones)
+    # party 0 passes the covariate COUNT (it holds no data but must run the
+    # dealer side of every QR column, so the column count must match).
+    # Qcomb ciphertext cache (use_cached_combined_q, gwas/assoc.go:501-514).
+    import os as _os
+
+    from . import utilities as U
+
+    qcomb_cache = f"{cache_prefix}_Qcomb.npz" if cache_prefix else None
+    if use_cached_combined_q and qcomb_cache and _os.path.exists(qcomb_cache):
+        if pid > 0:
+            Q = U.load_cipher_matrix(cps, qcomb_cache)
+        else:
+            Q = None
+    else:
+        Q, ncols = compute_combined_q(mpc, cps, cov, Qpc, nrows_all, cov_all_ones)
+        if pid > 0 and qcomb_cache:
+            U.save_cipher_matrix(cps, Q, qcomb_cache)
 
     num_blocks = len(geno_blocks) if pid > 0 else 0
     if pid == mpc.hub_pid:

@@ -38,6 +38,9 @@ def distributed_pca(
     num_oversample: int,
     num_power_iters: int,
     cache_prefix: Optional[str] = None,
+    restart_iter: int = 0,
+    skip_power_iter: bool = False,
+    debug: bool = False,
 ) -> B.CipherMatrix:
     ring = mpc.ring
     pid = mpc.pid
@@ -141,18 +144,47 @@ def distributed_pca(
         Q = mhe.bootstrap_mat(mpc.net, cps, Q, -1)
 
     from .qrfact import net_dqr_enc
+    from . import utilities as U
 
-    # initial projection to individual space + QR
-    if pid > 0:
-        Qloc = MM.qx_lazy_norm_stream(
-            cps, mpc, Q, xt_cache, x_mean, x_stdinv, nind, post_scale=inv_sqrt_m
-        )
-    else:
-        Qloc = [None] * kp
-    Q = net_dqr_enc(cps, mpc, Qloc, nrows_all)
+    # restart / skip support (restart_pca_from_iter, skip_power_iter,
+    # gwas/pca.go:244-331, 382-394): per-iteration decrypted dumps are the
+    # resume artifacts (the reference's QmulB_%d.txt; TODO acknowledged there
+    # that these leak -- same trade-off here, gated on debug)
+    import os as _os
+
+    def _iter_cache(it):
+        return f"{cache_prefix}_QmulB_{it}.txt" if cache_prefix else None
+
+    it_start = 0
+    if skip_power_iter or restart_iter > 0:
+        it = num_power_iters - 1 if skip_power_iter else restart_iter
+        f = _iter_cache(it)
+        if f and _os.path.exists(f):
+            if pid > 0:
+                mat = U.load_matrix_float(f)
+                Qloc = [B.encrypt_float_vector(cps, row) for row in mat]
+            else:
+                Qloc = [None] * kp
+            if it == num_power_iters - 1:
+                Q = Qloc
+            else:
+                Q = net_dqr_enc(cps, mpc, Qloc, nrows_all)
+            it_start = it + 1
+        else:
+            restart_iter = 0
+
+    if it_start == 0:
+        # initial projection to individual space + QR
+        if pid > 0:
+            Qloc = MM.qx_lazy_norm_stream(
+                cps, mpc, Q, xt_cache, x_mean, x_stdinv, nind, post_scale=inv_sqrt_m
+            )
+        else:
+            Qloc = [None] * kp
+        Q = net_dqr_enc(cps, mpc, Qloc, nrows_all)
 
     # ---- power iterations (gwas/pca.go:339-371)
-    for it in range(num_power_iters):
+    for it in range(it_start, num_power_iters):
         if pid > 0:
             Qs = MM.qxt_lazy_norm_stream(
                 cps, mpc, Q, x_cache, x_mean, x_stdinv, post_scale=inv_sqrt_n
@@ -165,6 +197,11 @@ def distributed_pca(
             )
         else:
             Qloc = [None] * kp
+        if debug and pid > 0 and cache_prefix:
+            for p in range(1, mpc.nparty):
+                U.save_matrix_collective(
+                    mpc.net, cps, Qloc, nrows_all[p], p, _iter_cache(it)
+                )
         if it == num_power_iters - 1:
             Q = Qloc
         else:

@@ -34,9 +34,16 @@ class ProtocolInfo:
         nparty = config.nparty
 
         if transport is None:
-            transport = TCPTransport(
-                pid, nparty, config.servers, 0, config.binding_ipaddr
-            )
+            try:
+                from ..parallel.native_transport import NativeTCPTransport
+
+                transport = NativeTCPTransport(
+                    pid, nparty, config.servers, 0, config.binding_ipaddr
+                )
+            except Exception:
+                transport = TCPTransport(
+                    pid, nparty, config.servers, 0, config.binding_ipaddr
+                )
         rand = Random(pid, nparty, config.shared_keys_path or None)
         self.net = Network(transport, pid, nparty, config.hub_party_id, rand)
 
@@ -243,6 +250,16 @@ class ProtocolInfo:
             return None
 
         pid = self.pid
+        # decrypted-PC cache (use_cached_pca, gwas/gwas.go:333-360)
+        pca_cache = self.cache_path("Qpc.txt")
+        if cfg.use_cached_pca and os.path.exists(pca_cache):
+            from ..crypto import basics as B
+            from . import utilities as U
+
+            if pid > 0:
+                mat = U.load_matrix_float(pca_cache)
+                return [B.encrypt_float_vector(self.cps, row) for row in mat]
+            return [None] * cfg.num_pcs_to_remove
         # LD pruning by position (snpDistanceFiltering, gwas/gwas.go:609-626)
         if pid > 0:
             keep = gp.snp_filt if gp.snp_filt is not None else np.ones(gp.num_snps, bool)
@@ -282,7 +299,18 @@ class ProtocolInfo:
             cfg.num_oversampling,
             cfg.num_power_iters,
             cache_prefix=self.cache_path("geno_pca_diag"),
+            restart_iter=cfg.restart_pca_from_iter,
+            skip_power_iter=cfg.skip_power_iter,
+            debug=cfg.debug,
         )
+        if pid > 0:
+            from . import utilities as U
+
+            for p in range(1, self.net.nparty):
+                U.save_matrix_collective(
+                    self.net, self.cps, qpc, gp.num_filt_inds[p], p,
+                    self.cache_path("Qpc.txt"),
+                )
         self.net.print_log()
         return qpc
 
@@ -307,7 +335,7 @@ class ProtocolInfo:
             self.cps,
             blocks,
             self.pheno,
-            self.cov,
+            self.cov if pid > 0 else gp.num_covs,
             qpc,
             [0] + list(gp.num_filt_inds[1:]),
             cov_all_ones=cfg.cov_all_ones,

@@ -295,6 +295,10 @@ class CkksContext:
     def rescale_one(self, ct: Ciphertext) -> Ciphertext:
         """Drop the top active prime, dividing the message by it."""
         nmod = ct.nmod
+        assert nmod > self.params.base_nmod, (
+            f"level underflow: rescale at nmod={nmod} "
+            f"(base={self.params.base_nmod}); bootstrap first"
+        )
         src = nmod - 1
         dst = tuple(range(src))
         c0 = self._rescale_poly(ct.c0, src, dst)

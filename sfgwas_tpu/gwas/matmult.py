@@ -281,7 +281,10 @@ def dc_matmul_aat_b(
     inner_fn: Callable,
 ) -> B.CipherMatrix:
     """For row-partitioned A across parties: out = A (A^T B) computed per
-    column of A via aggregated inner products."""
+    column of A via aggregated inner products.  The aggregated cross terms
+    are refreshed to the top level before the outer product so the chain
+    fits shallow modulus budgets (the reference bootstraps right after the
+    rank-1 updates instead, gwas/qrfact.go:201)."""
     slots = cps.slots
     pid = mpc.pid
     n_ct = ((nrows_all[pid] - 1) // slots) + 1 if pid > 0 else 1
@@ -292,6 +295,7 @@ def dc_matmul_aat_b(
             prod = inner_fn(cps, A[c], Bmat, j)
             ctq_loc.append(B.inner_sum_all(cps, prod))
         ctq = mhe.aggregate_cvec(mpc.net, cps, ctq_loc)
+        ctq = [mhe.collective_bootstrap(mpc.net, cps, ct, -1) for ct in ctq]
         for j in range(ncol_out):
             cc = B.cmult_scalar(cps, A[c], ctq[j])
             out[j] = B.cadd(cps, _match_vec(cps, out[j], cc), cc)

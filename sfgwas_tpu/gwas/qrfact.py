@@ -45,6 +45,11 @@ def net_dqr_enc(
 
     v_list: List[B.CipherVector] = [None] * ncols
 
+    # normalize the input columns to the top level (inputs arrive at mixed
+    # depths, e.g. covariates at full vs PCs at lower levels)
+    if pid > 0:
+        A = mhe.bootstrap_mat_all(mpc.net, cps, A)
+
     for col in range(ncols):
         ncol_curr = ncols - col
         upid, ctid, slotid = (

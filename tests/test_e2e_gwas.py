@@ -164,7 +164,7 @@ def oracle_qc(data):
     s = x.sum(axis=0)
     c = 2 * nonmiss
     maf_ok = (2 * s - c) ** 2 * (1 << 20) <= c.astype(object) ** 2 * int(
-        ((2 * 0.05 - 1) ** 2) * (1 << 20)
+        round(((2 * 0.05 - 1) ** 2) * (1 << 20))
     )
     ctrl = y < 1
     a = np.where(obs[ctrl], G[ctrl], 0).sum(axis=0)
@@ -181,3 +181,27 @@ def oracle_qc(data):
         chi += num / np.maximum(exp[i], 1e-9)
     hwe_ok = chi < 2 * b * 1000.0
     return keep_miss & np.asarray(maf_ok, bool) & hwe_ok
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SFGWAS_FULL_E2E"),
+    reason="full pipeline with PCA is slow; set SFGWAS_FULL_E2E=1",
+)
+def test_e2e_with_pca(tmp_path):
+    rng = np.random.default_rng(77)
+    data = make_data(str(tmp_path), rng)
+    outs = run_protocol(str(tmp_path), skip_pca=False)
+    got = outs[1]
+    assert got is not None
+    gk = oracle_qc(data)
+    # oracle with exact top-2 PCs of the standardized pruned matrix
+    G = np.concatenate([data[1][0], data[2][0]], axis=0).astype(float)
+    Gq = G[:, gk]
+    Gs = (Gq - Gq.mean(0)) / np.maximum(Gq.std(0), 1e-9)
+    _, _, vt = np.linalg.svd(Gs, full_matrices=False)
+    pcs = Gs @ vt[:2].T
+    want = oracle_stats(data, gk, pcs=pcs)
+    assert got.shape == want.shape
+    # randomized-PCA pipeline vs exact-PCA oracle: demand high correlation
+    corr = np.corrcoef(got, want)[0, 1]
+    assert corr > 0.9, corr

@@ -1,0 +1,27 @@
+"""Pallas fused NTT vs the jnp reference implementation (interpret mode on
+CPU; the same kernel compiles for TPU)."""
+
+import numpy as np
+import pytest
+
+from sfgwas_tpu.ops import rns
+from sfgwas_tpu.ops.pallas_ntt import ntt_pallas
+
+
+def test_pallas_ntt_matches_reference(rng):
+    import jax.numpy as jnp
+
+    primes = rns.gen_primes(4, 8, 25)
+    basis = rns.RnsBasis(primes, 8)
+    rows = (0, 2, 3)
+    x = np.stack(
+        [rng.integers(0, basis.primes[r], size=basis.n, dtype=np.int64) for r in rows]
+    ).astype(np.uint32)
+    xj = jnp.asarray(x)
+    want_f = np.asarray(rns.ntt(xj, basis, rows))
+    got_f = np.asarray(ntt_pallas(xj, basis, rows, False, True))
+    assert (want_f == got_f).all()
+    want_i = np.asarray(rns.ntt(jnp.asarray(want_f), basis, rows, inverse=True))
+    got_i = np.asarray(ntt_pallas(jnp.asarray(got_f), basis, rows, True, True))
+    assert (want_i == got_i).all()
+    assert (got_i == x).all()

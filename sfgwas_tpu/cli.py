@@ -44,6 +44,16 @@ def main(argv=None):
 
         def work(pid):
             cfg = load_config(args.config_global, args.config_local)
+            # local-sim runs every party from one config: path fields may use
+            # a literal {pid} placeholder for per-party data directories
+            for fld in (
+                "geno_binary_file_prefix", "geno_block_size_file", "pheno_file",
+                "covar_file", "snp_position_file", "geno_count_file",
+                "sample_keep_file", "snp_ids_file", "cache_dir", "output_dir",
+            ):
+                v = getattr(cfg, fld)
+                if v:
+                    setattr(cfg, fld, v.replace("{pid}", str(pid if pid else 1)))
             cfg.cache_dir = os.path.join(cfg.cache_dir, f"party{pid}")
             cfg.output_dir = os.path.join(cfg.output_dir, f"party{pid}")
             prot = ProtocolInfo(cfg, pid, transport=cluster.transport(pid))

@@ -146,6 +146,8 @@ class ProtocolInfo:
                 np.savetxt(cache, snp_filt.astype(int), fmt="%d")
         else:
             snp_filt = self._qc_scan_path(fp)
+            if self.pid > 0:
+                np.savetxt(cache, snp_filt.astype(int), fmt="%d")
 
         gp.set_snp_filt(snp_filt)
         n_filt = int(np.asarray(snp_filt).sum())

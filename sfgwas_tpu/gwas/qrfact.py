@@ -23,6 +23,7 @@ from ..crypto import ckks as C
 from ..mpc import mhe, ss_he
 from ..mpc.mhe import CryptoParams
 from ..mpc.mpc import MPC
+from ..utils.log import log
 from .matmult import dc_matmul_aat_b
 
 
@@ -51,6 +52,7 @@ def net_dqr_enc(
         A = mhe.bootstrap_mat_all(mpc.net, cps, A)
 
     for col in range(ncols):
+        log(f"pid{pid} DQR forward col {col+1}/{ncols}")
         ncol_curr = ncols - col
         upid, ctid, slotid = (
             B.global_to_party_index(cps, nrows_all, col, nparty)
@@ -116,6 +118,13 @@ def net_dqr_enc(
                     cps.ctx.drop_to(uvec[ctid], min(uvec[ctid].nmod, amask.nmod)),
                     cps.ctx.drop_to(amask, min(uvec[ctid].nmod, amask.nmod)),
                 )
+            # the rank-1 update needs 2 mult levels on v (inner product +
+            # outer product); refresh to the top unconditionally — levels
+            # diverge across parties here (only the pivot party's block was
+            # masked), so a level-conditional bootstrap would desync.  The
+            # reference bootstraps around the rank-1 updates too
+            # (gwas/qrfact.go:201).
+            uvec = mhe.bootstrap_mat_all(mpc.net, cps, [uvec])[0]
             v_list[col] = uvec
 
             # A <- (I - 2 v v^T / N) A
@@ -165,6 +174,7 @@ def net_dqr_enc(
         Q.append(B.encrypt_float_vector(cps, colvec))
 
     for j in range(ncols - 1, -1, -1):
+        log(f"pid{pid} DQR backward col {j+1}/{ncols}")
         upid, ctid, slotid = B.global_to_party_index(cps, nrows_all, j, nparty)
         ncol_curr = ncols - j
         qslice = Q[j:]

@@ -33,6 +33,7 @@ from ..crypto.params import CkksParams, get_params
 from ..ops import rns
 from ..ops.rns import _sel, add_mod, mul_mod_barrett, neg_mod, ntt, sub_mod
 from ..parallel.transport import Network
+from ..utils.log import log
 
 
 @dataclass
@@ -114,8 +115,11 @@ def collective_init(
     if extra_shifts:
         shifts = sorted(set(shifts) | set(s % params.slots for s in extra_shifts))
     gelems = sorted({ctx.galois_for_rotation(s) for s in shifts} | {ctx.galois_conjugate()})
-    for g_el in gelems:
+    for i, g_el in enumerate(gelems):
+        if i % 10 == 0:
+            log(f"pid{pid} rotkey {i+1}/{len(gelems)}")
         rot_keys[g_el] = collective_rotkey_gen(net, ctx, sk, g_el, crp_rng)
+    log(f"pid{pid} collective init done")
 
     return CryptoParams(ctx, sk, pk, rlk, rot_keys, enc_rng)
 
@@ -169,17 +173,17 @@ def collective_relin_keygen(net: Network, ctx, sk, crp_rng) -> C.KSwitchKey:
     rng = np.random.default_rng()
     psp = ctx.params.special
 
-    a_list = [ctx.sample_uniform(crp_rng, rows) for _ in range(ctx.nq)]
+    a_all = jnp.stack([ctx.sample_uniform(crp_rng, rows) for _ in range(ctx.nq)])
     if pid == 0:
         u_ntt = None
-        h_shares = [jnp.zeros((ctx.nq + 1, ctx.n), jnp.uint32) for _ in range(ctx.nq)]
+        h_shares = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
     else:
         u_ntt = ctx.small_to_rns(ctx.sample_ternary(rng), rows)
-        h_shares = []
+        hs = []
         for j in range(ctx.nq):
             e = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
             h = add_mod(
-                neg_mod(mul_mod_barrett(a_list[j], u_ntt, t["q"], t["mu"]), t["q"]),
+                neg_mod(mul_mod_barrett(a_all[j], u_ntt, t["q"], t["mu"]), t["q"]),
                 e,
                 t["q"],
             )
@@ -191,26 +195,30 @@ def collective_relin_keygen(net: Network, ctx, sk, crp_rng) -> C.KSwitchKey:
                 t["q"][j : j + 1],
             )
             h = h.at[j].set(add_mod(h[j], term[0], t["q"][j]))
-            h_shares.append(h)
-    h_agg = [_aggregate_mod(net, ctx, h, rows) for h in h_shares]
+            hs.append(h)
+        h_shares = jnp.stack(hs)
+    # one aggregation message for all digits (the reference aggregates
+    # per-poly; batching cuts round count by beta)
+    h_agg = _aggregate_mod(net, ctx, h_shares, rows)
 
-    d0s, d1s = [], []
-    for j in range(ctx.nq):
-        if pid == 0:
-            v_sh = jnp.zeros((ctx.nq + 1, ctx.n), jnp.uint32)
-            w_sh = jnp.zeros((ctx.nq + 1, ctx.n), jnp.uint32)
-        else:
+    if pid == 0:
+        v_sh = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
+        w_sh = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
+    else:
+        vs, ws = [], []
+        for j in range(ctx.nq):
             e1 = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
             e2 = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
-            v_sh = add_mod(
-                mul_mod_barrett(sk.s, h_agg[j], t["q"], t["mu"]), e1, t["q"]
+            vs.append(
+                add_mod(mul_mod_barrett(sk.s, h_agg[j], t["q"], t["mu"]), e1, t["q"])
             )
-            w_sh = add_mod(
-                mul_mod_barrett(u_ntt, a_list[j], t["q"], t["mu"]), e2, t["q"]
+            ws.append(
+                add_mod(mul_mod_barrett(u_ntt, a_all[j], t["q"], t["mu"]), e2, t["q"])
             )
-        d0s.append(_aggregate_mod(net, ctx, v_sh, rows))
-        d1s.append(_aggregate_mod(net, ctx, w_sh, rows))
-    return C.KSwitchKey(jnp.stack(d0s), jnp.stack(d1s))
+        v_sh, w_sh = jnp.stack(vs), jnp.stack(ws)
+    d0 = _aggregate_mod(net, ctx, v_sh, rows)
+    d1 = _aggregate_mod(net, ctx, w_sh, rows)
+    return C.KSwitchKey(d0, d1)
 
 
 def collective_rotkey_gen(net: Network, ctx, sk, g_el: int, crp_rng) -> C.KSwitchKey:
@@ -221,17 +229,19 @@ def collective_rotkey_gen(net: Network, ctx, sk, g_el: int, crp_rng) -> C.KSwitc
     pid = net.pid
     rng = np.random.default_rng()
     psp = ctx.params.special
-    d0s, d1s = [], []
-    for j in range(ctx.nq):
-        a = ctx.sample_uniform(crp_rng, rows)
-        if pid == 0:
-            share = jnp.zeros((ctx.nq + 1, ctx.n), jnp.uint32)
-        else:
+    a_all = jnp.stack([ctx.sample_uniform(crp_rng, rows) for _ in range(ctx.nq)])
+    if pid == 0:
+        shares = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
+    else:
+        s_g = ctx.automorphism(sk.s, g_el)
+        sh = []
+        for j in range(ctx.nq):
             e = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
             share = add_mod(
-                neg_mod(mul_mod_barrett(a, sk.s, t["q"], t["mu"]), t["q"]), e, t["q"]
+                neg_mod(mul_mod_barrett(a_all[j], sk.s, t["q"], t["mu"]), t["q"]),
+                e,
+                t["q"],
             )
-            s_g = ctx.automorphism(sk.s, g_el)
             pj = psp % ctx.params.q_primes[j]
             term = C.mul_mod_shoup(
                 s_g[j : j + 1],
@@ -240,9 +250,10 @@ def collective_rotkey_gen(net: Network, ctx, sk, g_el: int, crp_rng) -> C.KSwitc
                 t["q"][j : j + 1],
             )
             share = share.at[j].set(add_mod(share[j], term[0], t["q"][j]))
-        d0s.append(_aggregate_mod(net, ctx, share, rows))
-        d1s.append(a)
-    return C.KSwitchKey(jnp.stack(d0s), jnp.stack(d1s))
+            sh.append(share)
+        shares = jnp.stack(sh)
+    d0 = _aggregate_mod(net, ctx, shares, rows)
+    return C.KSwitchKey(d0, a_all)
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ import numpy as np
 
 from ..ops import ring as R
 from ..parallel.transport import Network
+from ..utils.log import log
 from .prg import Random
 
 
@@ -732,6 +733,8 @@ class MPC:
         pid = self.pid
         kb, fb = self.data_bits, self.frac_bits
         num_iter = 2 * int(math.ceil(math.log2(kb / 3.5)))
+        if n > 100:
+            log(f"pid{pid} sqrt/sqrtinv n={n}")
         s, s_sqrt = self.normalizer_even_exp(a, kb, binary)
 
         a_scaled = self.ss_mult_elem(a, s)

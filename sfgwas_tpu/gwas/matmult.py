@@ -288,7 +288,9 @@ def dc_matmul_aat_b(
     slots = cps.slots
     pid = mpc.pid
     n_ct = ((nrows_all[pid] - 1) // slots) + 1 if pid > 0 else 1
-    out = B.czero_mat(cps, n_ct, ncol_out)
+    # accumulate with first-term adoption (a czeros init would impose the
+    # preset scale on products whose scale has drifted from rescaling)
+    out = [None] * ncol_out
     for c in range(len(A)):
         ctq_loc = []
         for j in range(ncol_out):
@@ -298,7 +300,9 @@ def dc_matmul_aat_b(
         ctq = [mhe.collective_bootstrap(mpc.net, cps, ct, -1) for ct in ctq]
         for j in range(ncol_out):
             cc = B.cmult_scalar(cps, A[c], ctq[j])
-            out[j] = B.cadd(cps, _match_vec(cps, out[j], cc), cc)
+            out[j] = cc if out[j] is None else B.cadd(
+                cps, _match_vec(cps, out[j], cc), cc
+            )
     return out
 
 

@@ -332,6 +332,9 @@ class ProtocolInfo:
                 if m.shape[1] > 0:
                     blocks.append(m)
 
+        if cfg.use_logistic:
+            return self._phase3_logistic(qpc, blocks)
+
         stats, filt = assoc_mod.get_association_stats(
             self.mpc,
             self.cps,
@@ -344,6 +347,56 @@ class ProtocolInfo:
             cache_prefix=self.cache_path("assoc"),
         )
 
+        if pid > 0:
+            vals = []
+            for ct in stats:
+                pt = mhe.collective_decrypt(self.net, self.cps, ct, -1)
+                vals.append(self.cps.ctx.decode(pt))
+            out = np.concatenate(vals)[: len(filt)][filt]
+            np.savetxt(self.out_path("assoc.txt"), out, fmt="%.6e")
+            self.net.print_log()
+            return out
+        return None
+
+    def _phase3_logistic(self, qpc, blocks):
+        """Logistic association: covariate-only Newton + per-SNP score test
+        (useLogistic path, gwas/assoc.go:955-1476)."""
+        import math as _math
+
+        from ..crypto import basics as B
+        from ..mpc import mhe
+
+        cfg = self.config
+        gp = self.gwas_params
+        pid = self.pid
+        nrows_all = [0] + list(gp.num_filt_inds[1:])
+        tot_n = sum(nrows_all[1:])
+        approx = (cfg.A, cfg.B, cfg.degree)
+
+        Q, ncols = assoc_mod.compute_combined_q(
+            self.mpc, self.cps,
+            self.cov if pid > 0 else gp.num_covs,
+            qpc, nrows_all, cov_all_ones=cfg.cov_all_ones,
+        )
+        if pid > 0:
+            # orthonormal basis: Q columns are sqrt(N)-scaled
+            Cm = B.cmult_const_mat(
+                self.cps, Q, 1.0 / _math.sqrt(tot_n), rescale=True
+            )
+            Cm = mhe.bootstrap_mat_all(self.net, self.cps, Cm)
+            y = self.pheno.reshape(-1)
+        else:
+            Cm = ncols
+            y = None
+
+        weights = assoc_mod.lr_newton_cov_only(
+            self.mpc, self.cps, Cm, y, cfg.epochs, nrows_all, approx,
+            cfg.inverse_mat_scale,
+        )
+        stats, filt = assoc_mod.gwy_score_test(
+            self.mpc, self.cps, Cm, blocks, y, weights, approx, nrows_all,
+            cfg.inverse_mat_scale, cache_prefix=self.cache_path("assoc"),
+        )
         if pid > 0:
             vals = []
             for ct in stats:

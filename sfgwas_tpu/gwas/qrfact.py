@@ -182,10 +182,15 @@ def net_dqr_enc(
 
         def fn(cp, a, Bm, jj):
             if jj == 0:
-                cv = B.czeros(cp, 1)
-                if upid == pid:
-                    cv[0] = B.mask(cp, a[ctid], slotid, False)
-                return cv
+                # every party shapes a mask-result ct (scale/level identical
+                # across parties by symmetry); non-pivot parties zero it so
+                # the cross-party aggregate has consistent scale bookkeeping
+                m = B.mask(cp, a[ctid] if upid == pid else a[0], slotid, False)
+                if upid != pid:
+                    m = C.Ciphertext(
+                        jnp.zeros_like(m.c0), jnp.zeros_like(m.c1), m.nmod, m.scale
+                    )
+                return [m]
             return B.cmult(cp, a, Bm[jj])
 
         vvtq = dc_matmul_aat_b(cps, mpc, vmat, qslice, nrows_all, ncol_curr, fn)

@@ -48,7 +48,7 @@ def make_data(tmpdir, rng):
     return data
 
 
-def make_config(tmpdir, pid, skip_pca=True):
+def make_config(tmpdir, pid, skip_pca=True, logistic=False):
     cfg = Config()
     cfg.num_main_parties = 2
     cfg.ckks_params = "TEST8"
@@ -66,6 +66,12 @@ def make_config(tmpdir, pid, skip_pca=True):
     cfg.num_oversampling = 2
     cfg.num_power_iters = 3
     cfg.snp_dist_thres = 1
+    if logistic:
+        cfg.use_logistic = True
+        cfg.epochs = 3
+        cfg.degree = 15
+        cfg.A = -6.0
+        cfg.B = 6.0
     d = os.path.join(tmpdir, f"party{pid}")
     cfg.geno_binary_file_prefix = os.path.join(d, "geno")
     cfg.geno_block_size_file = os.path.join(d, "blocksizes.txt")
@@ -77,14 +83,14 @@ def make_config(tmpdir, pid, skip_pca=True):
     return cfg
 
 
-def run_protocol(tmpdir, skip_pca=True):
+def run_protocol(tmpdir, skip_pca=True, logistic=False):
     cluster = LocalCluster(NPARTY)
     outs = [None] * NPARTY
     errs = [None] * NPARTY
 
     def work(pid):
         try:
-            cfg = make_config(tmpdir, pid if pid > 0 else 1, skip_pca)
+            cfg = make_config(tmpdir, pid if pid > 0 else 1, skip_pca, logistic)
             if pid == 0:
                 cfg.pheno_file = cfg.covar_file = cfg.snp_position_file = ""
                 cfg.cache_dir = os.path.join(tmpdir, "party0", "cache")
@@ -181,6 +187,78 @@ def oracle_qc(data):
         chi += num / np.maximum(exp[i], 1e-9)
     hwe_ok = chi < 2 * b * 1000.0
     return keep_miss & np.asarray(maf_ok, bool) & hwe_ok
+
+
+def make_logistic_data(tmpdir, rng):
+    """Binary phenotype from a logistic model over covariates + 2 SNPs."""
+    data = {}
+    for pid in (1, 2):
+        n = N_PER[pid]
+        maf = rng.uniform(0.2, 0.5, size=M)
+        g = (rng.uniform(size=(n, M)) < maf).astype(np.int8) + (
+            rng.uniform(size=(n, M)) < maf
+        ).astype(np.int8)
+        cov = rng.normal(size=(n, NCOV))
+        logit = -0.2 + 0.8 * g[:, 0] - 0.6 * g[:, 3] + 0.5 * cov[:, 0]
+        pheno = (rng.uniform(size=n) < 1 / (1 + np.exp(-logit))).astype(float)
+        d = os.path.join(tmpdir, f"party{pid}")
+        os.makedirs(d, exist_ok=True)
+        half = M // 2
+        g[:, :half].tofile(os.path.join(d, "geno.0.bin"))
+        g[:, half:].tofile(os.path.join(d, "geno.1.bin"))
+        with open(os.path.join(d, "blocksizes.txt"), "w") as f:
+            f.write(f"{half}\n{M-half}\n")
+        np.savetxt(os.path.join(d, "pheno.txt"), pheno)
+        np.savetxt(os.path.join(d, "cov.txt"), cov)
+        np.savetxt(os.path.join(d, "pos.txt"), np.arange(M) * 1000, fmt="%d")
+        data[pid] = (g, pheno, cov)
+    return data
+
+
+def oracle_logistic_score(data, snp_filt):
+    """Exact-Newton logistic score test (gWY math, gwas/assoc.go:1174-1476)."""
+    G = np.concatenate([data[1][0], data[2][0]], axis=0).astype(float)
+    y = np.concatenate([data[1][1], data[2][1]])
+    C = np.concatenate([data[1][2], data[2][2]], axis=0)
+    G = G[:, snp_filt]
+    n = G.shape[0]
+    Z = np.stack([np.ones(n), *[C[:, j] for j in range(C.shape[1])]], axis=1)
+    beta = np.zeros(Z.shape[1])
+    for _ in range(50):
+        p = 1 / (1 + np.exp(-Z @ beta))
+        w = p * (1 - p)
+        H = Z.T @ (Z * w[:, None])
+        beta = beta + np.linalg.solve(H, Z.T @ (y - p))
+    p = 1 / (1 + np.exp(-Z @ beta))
+    w = p * (1 - p)
+    yt = y - p
+    ZW = Z * w[:, None]
+    Hinv = np.linalg.inv(Z.T @ ZW)
+    num = G.T @ yt
+    den = (w[:, None] * G * G).sum(axis=0) - np.einsum(
+        "ij,jk,ik->i", G.T @ ZW, Hinv, G.T @ ZW
+    )
+    return num / np.sqrt(den)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SFGWAS_FULL_E2E"),
+    reason="logistic e2e is slow; set SFGWAS_FULL_E2E=1",
+)
+def test_e2e_logistic(tmp_path):
+    rng = np.random.default_rng(55)
+    data = make_logistic_data(str(tmp_path), rng)
+    outs = run_protocol(str(tmp_path), skip_pca=True, logistic=True)
+    got = outs[1]
+    assert got is not None
+    gk = np.loadtxt(
+        os.path.join(str(tmp_path), "party1", "cache", "gkeep.txt")
+    ).astype(bool)
+    want = oracle_logistic_score(data, gk)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    # secure path runs few approximate Newton epochs vs the exact oracle
+    corr = np.corrcoef(got, want)[0, 1]
+    assert corr > 0.95, (corr, got[:5], want[:5])
 
 
 @pytest.mark.skipif(

@@ -327,17 +327,24 @@ def evaluate_chebyshev_interactive(net, cps, cv, coeffs, a, b, bootstrap_fn):
 
 def _cheby_one(net, cps, ct, coeffs, a, b, bootstrap_fn):
     ctx = cps.ctx
-    low = ctx.params.base_nmod + 4
+    # one recurrence step spends up to 3 prime pairs off a T-value
+    # (mult+relin, x2 constant, coefficient constant) before re-entering
+    # ensure(); refresh whenever fewer than 3 mult levels remain
+    low = min(ctx.nq, ctx.params.base_nmod + 6)
 
     def ensure(x):
         if x.nmod < low:
             return bootstrap_fn(net, cps, x, -1)
         return x
 
+    # every T_k and every coefficient term is steered to land EXACTLY at the
+    # preset scale (mul_const_to), so the long accumulation chain and the
+    # T-recurrence subtraction stay scale-matched across refreshes
+    tgt = ctx.params.scale
     ct = ensure(ct)
-    y = ctx.rescale(ctx.mul_const(ct, 2.0 / (b - a)))
+    y = ctx.rescale(ctx.mul_const_to(ct, 2.0 / (b - a), tgt))
     y = ctx.add_const(y, (-a - b) / (b - a))
-    acc = ctx.rescale(ctx.mul_const(y, float(coeffs[1])))
+    acc = ctx.rescale(ctx.mul_const_to(y, float(coeffs[1]), tgt))
     acc = ctx.add_const(acc, float(coeffs[0]))
     t_prev = None
     t_cur = y
@@ -347,14 +354,14 @@ def _cheby_one(net, cps, ct, coeffs, a, b, bootstrap_fn):
         if t_prev is None:
             t_next = ctx.rescale(ctx.mul_relin(y, y, cps.rlk))
             t_next = ctx.add_const(
-                ctx.rescale(ctx.mul_const(t_next, 2.0)), -1.0
+                ctx.rescale(ctx.mul_const_to(t_next, 2.0, tgt)), -1.0
             )
         else:
             ty = ctx.rescale(ctx.mul_relin(t_cur, y, cps.rlk))
-            ty2 = ctx.rescale(ctx.mul_const(ty, 2.0))
+            ty2 = ctx.rescale(ctx.mul_const_to(ty, 2.0, tgt))
             t_next = ctx.sub(ty2, ctx.drop_to(ensure(t_prev), ty2.nmod))
         if abs(float(coeffs[j])) > 1e-12:
-            term = ctx.rescale(ctx.mul_const(t_next, float(coeffs[j])))
+            term = ctx.rescale(ctx.mul_const_to(t_next, float(coeffs[j]), tgt))
             acc = ensure(acc)
             nm = min(acc.nmod, term.nmod)
             acc = ctx.add(ctx.drop_to(acc, nm), ctx.drop_to(term, nm))

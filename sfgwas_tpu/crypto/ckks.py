@@ -526,6 +526,17 @@ class CkksContext:
         c1 = mul_mod_barrett(ct.c1, res, t["q"], t["mu"])
         return Ciphertext(c0, c1, ct.nmod, ct.scale * sc)
 
+    def mul_const_to(self, ct: Ciphertext, value: float, target: float):
+        """Multiply by a scalar, choosing the constant's encoding scale so
+        the result lands EXACTLY at `target` after rescale() — the SetScale
+        technique that keeps long add-chains (e.g. Chebyshev accumulation)
+        scale-exact despite paired-prime drift."""
+        pair = float(self.basis.primes[ct.nmod - 1]) * float(
+            self.basis.primes[ct.nmod - 2]
+        )
+        cs = target * pair / ct.scale
+        return self.mul_const(ct, value, cs)
+
     def mul_const_int(self, ct: Ciphertext, value: int):
         """Multiply by a small integer without scale change."""
         rows = tuple(range(ct.nmod))

@@ -288,8 +288,15 @@ def compute_grad_and_inv_hessian(
         )
     a_lo, b_hi, degree = approx
     coeffs = _sigmoid_coeffs(a_lo, b_hi, degree)
+
+    def _refresh_local(net, cps_, ct, _src):
+        # the sigmoid operand is party-local (each party's own rows), so the
+        # in-recurrence refresh must take per-source turns, not the shared-ct
+        # collective path
+        return mhe.bootstrap_mat_all(net, cps_, [[ct]])[0][0]
+
     p_hat = B.evaluate_chebyshev_interactive(
-        mpc.net, cps, cov_intercept, coeffs, a_lo, b_hi, mhe.collective_bootstrap
+        mpc.net, cps, cov_intercept, coeffs, a_lo, b_hi, _refresh_local
     )
     p_hat = mhe.bootstrap_mat_all(mpc.net, cps, [p_hat])[0]
 
@@ -313,6 +320,9 @@ def compute_grad_and_inv_hessian(
 
     # V = w o C_scaled_up
     Wz = [B.cmult(cps, w_vec, C_scaled_up[i]) for i in range(ncov)]
+    # downstream consumers (Z^T W Z here; WzBT / Wz(Z^TWZ)^-1 in the score
+    # test) each need 2 more mult levels off Wz
+    Wz = mhe.bootstrap_mat_all(mpc.net, cps, Wz)
 
     # W = C^T Wz, inverted via SS eigendecomposition
     ZTwZ = MM.cmult_mat_inner_prod(cps, Cm, Wz)
@@ -331,6 +341,9 @@ def compute_grad_and_inv_hessian(
     scale_back = math.sqrt((inverse_mat_scale * 2) / math.sqrt(tot_n))
     BT = [B.cmult_const(cps, row, scale_back, rescale=True) for row in bt_cm]
     ZTwZInv = MM.cmult_mat_inner_prod(cps, BT, [row for row in BT])
+    # ZTwZInv lands at the base level; refresh so the Newton step /
+    # score-test outer products have headroom (identical across parties)
+    ZTwZInv = mhe.bootstrap_mat(mpc.net, cps, ZTwZInv, -1)
     return grad, ZTwZInv, BT, Wz, y_tilde, w_vec
 
 
@@ -356,6 +369,7 @@ def lr_newton_cov_only(
             mpc, cps, Cm, C_scaled, y, weights, approx, nrows_all,
             i == 0, True, inverse_mat_scale,
         )
+        grad = mhe.bootstrap_mat(mpc.net, cps, [grad], -1)[0]
         step = MM.cmult_mat_col_times_col_to_col(cps, inv_hess, grad, len(weights))
         nm = min(weights[0].nmod, step[0].nmod)
         weights = [

@@ -2,11 +2,14 @@
 
 The jnp NTT (ops/rns.py) materializes [L, N] arrays between each of the
 log2(N) butterfly stages (~14 HBM round trips per transform).  This kernel
-keeps one prime's whole polynomial + twiddle tables resident in VMEM and
-runs all stages in a single pass: one HBM read + one write per poly.
+keeps the whole residue matrix + twiddle tables resident in VMEM and runs
+all stages in a single pass: one HBM read + one write per poly.  For the
+production shapes (L<=25 primes, N<=2^14) the working set is ~4 MB, well
+inside a TPU core's VMEM.
 
-Grid: one program per prime row.  Values are uint32 (< 2^26); the Shoup
-multiply uses wrapping 32-bit arithmetic exactly as in ops/rns.py.
+Values are uint32 (< 2^26); the Shoup multiply uses wrapping 32-bit
+arithmetic exactly as in ops/rns.py (TPU-native replacement for the
+reference's uint128 Montgomery loops, gwas/matmult.go:247-324).
 """
 
 from __future__ import annotations
@@ -41,92 +44,78 @@ def _mul_shoup(a, w, ws, q):
 
 
 def _fwd_kernel(n: int, x_ref, tw_ref, tws_ref, q_ref, out_ref):
-    q = q_ref[0, 0]
-    x = x_ref[0, :]
-    tw = tw_ref[0, :]
-    tws = tws_ref[0, :]
+    L = x_ref.shape[0]
+    q = q_ref[:, :]  # [L, 1]
+    x = x_ref[:, :]  # [L, n]
     m = 1
     while m < n:
         half = n // (2 * m)
-        xv = x.reshape(m, 2, half)
-        # static slice bounds per unrolled stage
-        S = tw[m : 2 * m][:, None]
-        Ss = tws[m : 2 * m][:, None]
-        u = xv[:, 0, :]
-        v = _mul_shoup(xv[:, 1, :], S, Ss, q)
-        lo = jnp.where(u + v >= q, u + v - q, u + v)
-        hi = jnp.where(u >= v, u - v, u + q - v)
-        x = jnp.stack([lo, hi], axis=1).reshape(n)
+        xv = x.reshape(L, m, 2, half)
+        # twiddle rows m..2m-1, one per butterfly group (static slices)
+        S = tw_ref[:, m : 2 * m].reshape(L, m, 1)
+        Ss = tws_ref[:, m : 2 * m].reshape(L, m, 1)
+        qb = q.reshape(L, 1, 1)
+        u = xv[:, :, 0, :]
+        v = _mul_shoup(xv[:, :, 1, :], S, Ss, qb)
+        s = u + v
+        lo = jnp.where(s >= qb, s - qb, s)
+        hi = jnp.where(u >= v, u - v, u + qb - v)
+        x = jnp.stack([lo, hi], axis=2).reshape(L, n)
         m *= 2
-    out_ref[0, :] = x
+    out_ref[:, :] = x
 
 
 def _inv_kernel(n: int, x_ref, tw_ref, tws_ref, q_ref, ninv_ref, ninvs_ref, out_ref):
-    q = q_ref[0, 0]
-    x = x_ref[0, :]
-    tw = tw_ref[0, :]
-    tws = tws_ref[0, :]
+    L = x_ref.shape[0]
+    q = q_ref[:, :]
+    x = x_ref[:, :]
     m = n
     while m > 1:
         h = m // 2
-        half = n // m
-        xv = x.reshape(h, 2, half)
-        S = tw[h : 2 * h][:, None]
-        Ss = tws[h : 2 * h][:, None]
-        u = xv[:, 0, :]
-        v = xv[:, 1, :]
-        lo = jnp.where(u + v >= q, u + v - q, u + v)
-        diff = jnp.where(u >= v, u - v, u + q - v)
-        hi = _mul_shoup(diff, S, Ss, q)
-        x = jnp.stack([lo, hi], axis=1).reshape(n)
+        xv = x.reshape(L, h, 2, n // m)
+        S = tw_ref[:, h : 2 * h].reshape(L, h, 1)
+        Ss = tws_ref[:, h : 2 * h].reshape(L, h, 1)
+        qb = q.reshape(L, 1, 1)
+        u = xv[:, :, 0, :]
+        v = xv[:, :, 1, :]
+        s = u + v
+        lo = jnp.where(s >= qb, s - qb, s)
+        diff = jnp.where(u >= v, u - v, u + qb - v)
+        hi = _mul_shoup(diff, S, Ss, qb)
+        x = jnp.stack([lo, hi], axis=2).reshape(L, n)
         m = h
-    out_ref[0, :] = _mul_shoup(x, ninv_ref[0, 0], ninvs_ref[0, 0], q)
+    out_ref[:, :] = _mul_shoup(x, ninv_ref[:, :], ninvs_ref[:, :], q)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def ntt_pallas(x, basis: "rns.RnsBasis", rows, inverse: bool = False, interpret: bool = False):
-    """Drop-in for rns.ntt using the fused Pallas kernel."""
-    import numpy as np
-
+    """Drop-in for rns.ntt using the fused Pallas kernel.  The whole [L, n]
+    residue matrix is one VMEM-resident block (TPU tiling requires the
+    trailing dims be full-array or (8,128)-aligned)."""
     n = basis.n
     L = x.shape[0]
-    idx = np.asarray(rows, dtype=np.int64)
     t = rns._sel(basis, rows)
     q = jnp.asarray(t["q"])  # [L, 1]
+    full = lambda: pl.BlockSpec((L, n), lambda: (0, 0), memory_space=pltpu.VMEM)
+    col = lambda: pl.BlockSpec((L, 1), lambda: (0, 0), memory_space=pltpu.VMEM)
     if not inverse:
         tw = jnp.asarray(t["psi"])
         tws = jnp.asarray(t["psi_s"])
-        kernel = functools.partial(_fwd_kernel, n)
         return pl.pallas_call(
-            kernel,
+            functools.partial(_fwd_kernel, n),
             out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
-            grid=(L,),
-            in_specs=[
-                pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            in_specs=[full(), full(), full(), col()],
+            out_specs=full(),
             interpret=interpret,
         )(x, tw, tws, q)
     tw = jnp.asarray(t["ipsi"])
     tws = jnp.asarray(t["ipsi_s"])
     ninv = jnp.asarray(t["ninv"])
     ninvs = jnp.asarray(t["ninv_s"])
-    kernel = functools.partial(_inv_kernel, n)
     return pl.pallas_call(
-        kernel,
+        functools.partial(_inv_kernel, n),
         out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
-        grid=(L,),
-        in_specs=[
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        in_specs=[full(), full(), full(), col(), col(), col()],
+        out_specs=full(),
         interpret=interpret,
     )(x, tw, tws, q, ninv, ninvs)

@@ -236,6 +236,18 @@ class ProtocolInfo:
             if ik is not None:
                 self.pheno = self.pheno[ik]
                 self.cov = self.cov[ik]
+            # intermediate filter caches (gkeep_miss/gkeep_maf_hwe/ikeep,
+            # gwas/qualcontrol.go:651,685,743)
+            np.savetxt(
+                self.cache_path("gkeep_miss.txt"),
+                np.asarray(miss_filt, int), fmt="%d",
+            )
+            np.savetxt(
+                self.cache_path("gkeep_maf_hwe.txt"),
+                np.asarray(mafhwe, int), fmt="%d",
+            )
+            if ik is not None:
+                np.savetxt(self.cache_path("ikeep.txt"), ik.astype(int), fmt="%d")
         out = np.zeros(gp.num_snps, bool)
         idx = np.where(miss_filt)[0]
         out[idx[np.asarray(mafhwe[: len(idx)], bool)]] = True

@@ -366,13 +366,25 @@ def bootstrap_mat_all(net, cps, cm):
     With already-shared matrices (source <= 0 semantics) a single pass
     suffices; this mirrors BootstrapMatAll call sites where every party holds
     its own local matrix -- since our bootstrap with source_pid <= 0 assumes
-    the ciphertext is shared, parties take turns broadcasting."""
+    the ciphertext is shared, parties take turns broadcasting.  The source
+    announces its (rows, cols-per-row) first so unbalanced row partitions
+    (different ct counts per party) stay in lockstep."""
     out = cm
     for source in range(1, net.nparty):
         if net.pid == source:
-            out = [[collective_bootstrap(net, cps, ct, source) for ct in row] for row in out]
-        else:
-            dummy = [[collective_bootstrap(net, cps, None, source) for ct in row] for row in cm]
+            shape = [len(row) for row in out]
+            for p in range(1, net.nparty):
+                if p != source:
+                    net.send(shape, p)
+            out = [
+                [collective_bootstrap(net, cps, ct, source) for ct in row]
+                for row in out
+            ]
+        elif net.pid > 0:
+            shape = net.recv(source)
+            for ncts in shape:
+                for _ in range(ncts):
+                    collective_bootstrap(net, cps, None, source)
     return out
 
 

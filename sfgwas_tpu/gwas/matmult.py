@@ -244,6 +244,109 @@ def mat_mult_cached(
     return out
 
 
+def mat_mult_sharded(
+    cps: CryptoParams,
+    A: B.CipherMatrix,
+    cache: List[List[DiagBlock]],
+    devices=None,
+) -> B.CipherMatrix:
+    """mat_mult_cached with the SNP (block-column) axis distributed over a
+    party's local chips (SURVEY.md §2.9: within-party chip sharding).
+
+    Output block-columns are independent, so tiles round-robin across
+    devices with no collectives: each device holds its tiles' diagonal
+    polys + a replica of the hoisted baby rotations, and XLA dispatches the
+    per-device accumulation chains concurrently.  Numerically identical to
+    mat_mult_cached (same op order per tile)."""
+    import jax
+
+    if not devices:
+        devices = jax.local_devices()
+    if len(devices) == 1:
+        return mat_mult_cached(cps, A, cache)
+
+    ctx = cps.ctx
+    nbr = len(cache)
+    nbc = len(cache[0])
+    s = len(A)
+    nmod = (
+        cache[0][0].polys.shape[1] if cache[0][0].polys is not None else mm_nmod(cps)
+    )
+    rows = tuple(range(nmod))
+    t = _sel(ctx.basis, rows)
+    d = cache[0][0].d
+    dev_of = {bj: devices[bj % len(devices)] for bj in range(nbc)}
+
+    # stage each tile's polys on its device once
+    polys_dev: Dict[Tuple[int, int], jnp.ndarray] = {}
+    for bi in range(nbr):
+        for bj in range(nbc):
+            blk = cache[bi][bj]
+            if blk.polys is not None:
+                polys_dev[(bi, bj)] = jax.device_put(blk.polys, dev_of[bj])
+
+    out: B.CipherMatrix = []
+    for i in range(s):
+        acc0: Dict[Tuple[int, int], jnp.ndarray] = {}
+        acc1: Dict[Tuple[int, int], jnp.ndarray] = {}
+        for bi in range(nbr):
+            ct = ctx.drop_to(A[i][bi], nmod)
+            needed = sorted({int(b) for bj in range(nbc) for b in cache[bi][bj].babies})
+            rots = ctx.hoisted_rotations(ct, needed, cps.rot_keys)
+            # replicate the rotated cts onto every participating device
+            rep = {
+                dv: {
+                    b: (
+                        jax.device_put(rc.c0, dv),
+                        jax.device_put(rc.c1, dv),
+                    )
+                    for b, rc in rots.items()
+                }
+                for dv in set(dev_of.values())
+            }
+            qd = {dv: jax.device_put(t["q"], dv) for dv in rep}
+            mud = {dv: jax.device_put(t["mu"], dv) for dv in rep}
+            for bj in range(nbc):
+                blk = cache[bi][bj]
+                if blk.polys is None:
+                    continue
+                dv = dev_of[bj]
+                P = polys_dev[(bi, bj)]
+                for k in range(len(blk.giants)):
+                    g, b = int(blk.giants[k]), int(blk.babies[k])
+                    rc0, rc1 = rep[dv][b]
+                    m0 = mul_mod_barrett(rc0, P[k], qd[dv], mud[dv])
+                    m1 = mul_mod_barrett(rc1, P[k], qd[dv], mud[dv])
+                    key = (bj, g)
+                    if key in acc0:
+                        acc0[key] = acc0[key] + m0
+                        acc1[key] = acc1[key] + m1
+                    else:
+                        acc0[key] = m0
+                        acc1[key] = m1
+                    if (k + 1) % 48 == 0:
+                        acc0[key] = ctx._reduce_u32(acc0[key], rows)
+                        acc1[key] = ctx._reduce_u32(acc1[key], rows)
+        row_out = []
+        in_scale = A[i][0].scale * ctx.params.scale
+        for bj in range(nbc):
+            total: Optional[C.Ciphertext] = None
+            for g in sorted({g for (bjj, g) in acc0 if bjj == bj}):
+                # pull partial sums back to the default device for the
+                # rotation/keyswitch epilogue (keys live there)
+                c0 = ctx._reduce_u32(jax.device_put(acc0[(bj, g)], devices[0]), rows)
+                c1 = ctx._reduce_u32(jax.device_put(acc1[(bj, g)], devices[0]), rows)
+                ct_g = C.Ciphertext(c0, c1, nmod, in_scale)
+                if g > 0:
+                    ct_g = B.rotate_left(cps, ct_g, g * d)
+                total = ct_g if total is None else ctx.add(total, ct_g)
+            if total is None:
+                total = ctx.zero_ct(nmod)
+            row_out.append(ctx.rescale(total))
+        out.append(row_out)
+    return out
+
+
 def mat_mult_stream(
     cps: CryptoParams,
     A: B.CipherMatrix,

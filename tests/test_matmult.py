@@ -67,3 +67,46 @@ def test_mat_mult_multiblock():
         assert err < 1e-2, (i, err)
     assert np.allclose(dsum, X.astype(np.float64).sum(axis=0))
     assert np.allclose(dsq, (X.astype(np.float64) ** 2).sum(axis=0))
+
+
+def test_mat_mult_sharded_matches_single_device():
+    """Per-party chip sharding of the BSGS matmult (SURVEY.md §2.9): tiles
+    round-robined over the 8 virtual devices must be bit-identical to the
+    single-device path."""
+    import jax
+
+    rng = np.random.default_rng(13)
+    s = 1
+    n, m = 120, 300  # 1 block row x 3 block cols -> tiles span devices
+    Q = rng.normal(size=(s, n)) * 0.5
+    X = rng.integers(0, 3, size=(n, m)).astype(np.int8)
+
+    def fn(mpc):
+        cps = mhe.collective_init(mpc.net, PRESET, shifts_override=_shifts())
+        if mpc.pid == 0:
+            return None
+        if mpc.pid == 1:
+            A = [[B.encrypt_float_vector(cps, Q[0])[0]]]
+        else:
+            A = [[None]]
+        A = [[mhe.broadcast_ciphertext(mpc.net, cps, A[0][0], 1)]]
+        cache = MM.preprocess_matrix(cps, X.astype(np.float64))
+        ref = MM.mat_mult_cached(cps, A, cache)
+        shd = MM.mat_mult_sharded(cps, A, cache, devices=jax.local_devices())
+        same = all(
+            np.array_equal(np.asarray(a.c0), np.asarray(b.c0))
+            and np.array_equal(np.asarray(a.c1), np.asarray(b.c1))
+            for ra, rb in zip(ref, shd)
+            for a, b in zip(ra, rb)
+        )
+        vals = []
+        for ct in shd[0]:
+            pt = mhe.collective_decrypt(mpc.net, cps, ct, -1)
+            vals.append(cps.ctx.decode(pt))
+        return same, np.concatenate(vals)
+
+    res = run_parties(3, fn)
+    same, got = res[1]
+    assert same, "sharded result differs from single-device"
+    want = (Q @ X.astype(np.float64))[0]
+    assert np.abs(got[:m] - want).max() < 1e-2

@@ -75,13 +75,35 @@ class ProtocolInfo:
         self.cov = None
         self.pos = None
         if pid > 0:
-            if config.geno_block_size_file:
-                with open(config.geno_block_size_file) as f:
-                    self.geno_block_sizes = [int(x) for x in f.read().split()]
+            if config.geno_file_format == "pgen":
+                # native .pgen decode (reference shells to plink2 instead,
+                # gwas/utilities.go:141-200); converted once to the int8
+                # blocks format under cache_dir and streamed from there
+                from .pgen import PgenReader
+
+                os.makedirs(config.cache_dir, exist_ok=True)
+                nchrom = config.geno_num_blocks or 22
+                for i in range(nchrom):
+                    pg = f"{config.geno_binary_file_prefix}/chr{i + 1}.pgen"
+                    r = PgenReader(pg)
+                    bs = r.variant_ct
+                    self.geno_block_sizes.append(bs)
+                    conv = os.path.join(config.cache_dir, f"geno_pgen.{i}.bin")
+                    if not os.path.exists(conv):
+                        r.read_all().tofile(conv)
+                    self.geno_blocks.append(
+                        fs.GenoFileStream(
+                            conv, config.num_inds[pid], bs, replace_missing=False
+                        )
+                    )
+                assert sum(self.geno_block_sizes) == config.num_snps
             else:
-                self.geno_block_sizes = [config.num_snps]
-            assert sum(self.geno_block_sizes) == config.num_snps
-            if config.geno_file_format == "blocks":
+                if config.geno_block_size_file:
+                    with open(config.geno_block_size_file) as f:
+                        self.geno_block_sizes = [int(x) for x in f.read().split()]
+                else:
+                    self.geno_block_sizes = [config.num_snps]
+                assert sum(self.geno_block_sizes) == config.num_snps
                 for i, bs in enumerate(self.geno_block_sizes):
                     fname = f"{config.geno_binary_file_prefix}.{i}.bin"
                     self.geno_blocks.append(

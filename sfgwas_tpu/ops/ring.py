@@ -272,15 +272,21 @@ class Ring:
 
     @_jitmethod
     def mul(self, a, b):
-        """Elementwise product of canonical digit arrays."""
+        """Elementwise product of canonical digit arrays.
+
+        Digit convolution out[d] = sum_{i+j=d} a_i*b_j (|.| < 2^21) as one
+        gather + one contraction: a banded embed of b is gathered with a
+        static index map, then contracted against a — far cheaper than a
+        scatter-add loop over limbs (which cost ~5 ms/call on CPU)."""
         L = self.nlimb
         shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
         a = jnp.broadcast_to(a, shape + (L,))
         b = jnp.broadcast_to(b, shape + (L,))
-        out = jnp.zeros(shape + (2 * L - 1,), dtype=jnp.int32)
-        # digit convolution: out[d] = sum_{i+j=d} a_i * b_j  (|.| < 2^21)
-        for j in range(L):
-            out = out.at[..., j : j + L].add(a * b[..., j : j + 1])
+        pad = [(0, 0)] * len(shape) + [(L - 1, L - 1)]
+        bp = jnp.pad(b, pad)  # [..., 3L-2]
+        idx = (jnp.arange(2 * L - 1)[None, :] - jnp.arange(L)[:, None]) + (L - 1)
+        Bm = bp[..., idx]  # [..., L, 2L-1]
+        out = jnp.einsum("...j,...jd->...d", a, Bm)
         return self.reduce(out)
 
     @_jitmethod
@@ -312,9 +318,14 @@ class Ring:
             Ak = A[:, k0 : k0 + max_k, :]
             Bk = B[k0 : k0 + max_k, :, :]
             M = jnp.einsum("ika,kjb->ijab", Ak, Bk)  # [r, c, L, L] int32
-            conv = jnp.zeros((r, c, 2 * L - 1), dtype=jnp.int32)
-            for d1 in range(L):
-                conv = conv.at[..., d1 : d1 + L].add(M[..., d1, :])
+            # banded-gather convolution (see mul): conv[d] = sum_j M[j, d-j]
+            Mp = jnp.pad(M, [(0, 0), (0, 0), (0, 0), (L - 1, L - 1)])
+            idx = (
+                jnp.arange(2 * L - 1)[None, :] - jnp.arange(L)[:, None]
+            ) + (L - 1)
+            conv = jnp.take_along_axis(
+                Mp, jnp.broadcast_to(idx, (r, c, L, 2 * L - 1)), axis=-1
+            ).sum(axis=-2)
             part = self.reduce(conv)
             out = part if out is None else self.add(out, part)
         return out

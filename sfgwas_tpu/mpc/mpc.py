@@ -280,22 +280,46 @@ class MPC:
         for p in range(1, pow_ - 1):
             arpow.append(ring.mul(arpow[-1], ar))
 
-        # Pascal-matrix binomial expansion of (ar + am)^p
+        # Pascal-matrix binomial expansion of (ar + am)^p.  All of the
+        # triangle's cross terms binom(p,j) * ar^(p-j) * am^j are computed
+        # as chunked BATCHED digit multiplies (one dispatch per chunk
+        # instead of one per term -- the per-term version dominated the
+        # protocol profile) and segment-summed into the rows.
         t = _pascal(pow_)
-        rows = [ring.zeros((n,)) for _ in range(pow_ + 1)]
-        if pid == 1:
-            rows[0] = ring.ones((n,))
-        rows[1] = a
+        ampow = jnp.asarray(ampow)
+        AR = jnp.concatenate([ar[None], jnp.stack(arpow)])  # powers 1..pow_
+        AM = jnp.concatenate([am[None], ampow])  # powers 1..pow_
+        I, J, Pp, Cs = [], [], [], []
         for p in range(2, pow_ + 1):
-            acc = arpow[p - 2] if pid == 1 else ring.zeros((n,))
-            acc = ring.add(acc, ring.mul_int(ring.mul(ar if p == 2 else arpow[p - 3], am), t[p][1]))
-            for j in range(2, p - 1):
-                acc = ring.add(acc, ring.mul_int(ring.mul(arpow[p - 2 - j], ampow[j - 2]), t[p][j]))
-            if p >= 3:
-                acc = ring.add(acc, ring.mul_int(ring.mul(ar, ampow[p - 3]), t[p][p - 1]))
-            acc = ring.add(acc, ampow[p - 2])
-            rows[p] = acc
-        return jnp.stack(rows)
+            for j in range(1, p):
+                I.append(p - j - 1)  # index into AR (power p-j)
+                J.append(j - 1)  # index into AM (power j)
+                Pp.append(p)
+                Cs.append(t[p][j])
+        coeff_digits = jnp.asarray(
+            np.stack([np.asarray(ring.const(int(c))) for c in Cs])
+        )  # [npairs, L]
+        L = ring.nlimb
+        acc_raw = jnp.zeros((pow_ + 1, n, L), jnp.int32)
+        npairs = len(I)
+        chunk = max(1, (1 << 24) // max(1, n * L))
+        Iv, Jv, Pv = np.asarray(I), np.asarray(J), np.asarray(Pp)
+        for s in range(0, npairs, chunk):
+            sl = slice(s, min(s + chunk, npairs))
+            cross = ring.mul(AR[Iv[sl]], AM[Jv[sl]])  # [c, n, L]
+            wt = ring.mul(cross, coeff_digits[sl][:, None, :])
+            acc_raw = acc_raw.at[Pv[sl]].add(wt)
+        acc = ring.reduce(acc_raw)  # canonical-digit sums < npairs*255: safe
+
+        rows = jnp.zeros((pow_ + 1, n, L), jnp.int32)
+        if pid == 1:
+            rows = rows.at[0].set(ring.ones((n,)))
+            # public term ar^p (only party 1 adds public values)
+            rows = rows.at[2:].set(AR[1:])
+        rows = rows.at[1].set(a)
+        tail = ring.add(ring.add(rows[2:], acc[2:]), AM[1:])
+        rows = rows.at[2:].set(tail)
+        return rows
 
     def evaluate_poly(self, a, coeff):
         """coeff: [npoly, deg+1] digit matrix -> [npoly, n]

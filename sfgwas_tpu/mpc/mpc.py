@@ -369,21 +369,34 @@ class MPC:
             arpow.append(F.mul(arpow[-1], ar))
         t = _pascal(pow_)
         p_mod = F.modulus
-        rows = [F.zeros((n,)) for _ in range(pow_ + 1)]
-        if pid == 1:
-            rows[0] = jnp.ones((n,), jnp.int32)
-        rows[1] = a
+        # batched triangle (see powers()): all cross terms in a few
+        # dispatches instead of one per (p, j)
+        AR = jnp.concatenate([ar[None], jnp.stack(arpow)])  # powers 1..pow_
+        AM = jnp.concatenate([am[None], ampow])
+        I, J, Pp, Cs = [], [], [], []
         for p in range(2, pow_ + 1):
-            acc = arpow[p - 2] if pid == 1 else F.zeros((n,))
-            base = ar if p == 2 else arpow[p - 3]
-            acc = F.add(acc, F.mul(F.mul(base, am), t[p][1] % p_mod))
-            for j in range(2, p - 1):
-                acc = F.add(acc, F.mul(F.mul(arpow[p - 2 - j], ampow[j - 2]), t[p][j] % p_mod))
-            if p >= 3:
-                acc = F.add(acc, F.mul(F.mul(ar, ampow[p - 3]), t[p][p - 1] % p_mod))
-            acc = F.add(acc, ampow[p - 2])
-            rows[p] = acc
-        return jnp.stack(rows)
+            for j in range(1, p):
+                I.append(p - j - 1)
+                J.append(j - 1)
+                Pp.append(p)
+                Cs.append(t[p][j] % p_mod)
+        Iv, Jv, Pv = np.asarray(I), np.asarray(J), np.asarray(Pp)
+        Cv = jnp.asarray(np.asarray(Cs, np.int32))
+        acc = jnp.zeros((pow_ + 1, n), jnp.int32)
+        chunk = max(1, (1 << 24) // max(1, n))
+        for s in range(0, len(I), chunk):
+            sl = slice(s, min(s + chunk, len(I)))
+            cross = F.mul(AR[Iv[sl]], AM[Jv[sl]])  # [c, n]
+            wt = F.mul(cross, Cv[sl][:, None])
+            acc = acc.at[Pv[sl]].add(wt) % p_mod
+
+        rows = jnp.zeros((pow_ + 1, n), jnp.int32)
+        if pid == 1:
+            rows = rows.at[0].set(1)
+            rows = rows.at[2:].set(AR[1:])
+        rows = rows.at[1].set(a)
+        tail = (rows[2:] + acc[2:] + AM[1:]) % p_mod
+        return rows.at[2:].set(tail)
 
     def evaluate_poly_small(self, a, coeff):
         F = self.sbit

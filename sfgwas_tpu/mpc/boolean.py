@@ -63,9 +63,8 @@ def _shift_down(x, span, fill):
 
 
 def _beaver_and(mpc, a, b):
-    """Elementwise secure AND of GF(2) shares."""
-    ar, am = mpc.beaver_partition(a, GF2)
-    br, bm = mpc.beaver_partition(b, GF2)
+    """Elementwise secure AND of GF(2) shares (one reveal round)."""
+    (ar, br), (am, bm) = mpc.beaver_partition_many([a, b], GF2)
     return mpc.beaver_reconstruct(mpc.beaver_mult_elem(ar, am, br, bm, GF2), GF2)
 
 

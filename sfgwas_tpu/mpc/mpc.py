@@ -138,6 +138,46 @@ class MPC:
         ar = self.reveal_sym(ar, ring)
         return ar, mask
 
+    def beaver_partition_many(self, xs, ring=None):
+        """Partition several tensors with ONE symmetric reveal round (the
+        two-operand multiply previously paid one round per operand).  PRG
+        draw order matches per-tensor partitioning, so dealer/party streams
+        stay in lockstep with the single-tensor path's conventions."""
+        ring = ring or self.ring
+        shapes = [self._shape(ring, x) for x in xs]
+        if self.pid == 0:
+            ams = []
+            for shape in shapes:
+                am = ring.zeros(shape)
+                for p in range(1, self.nparty):
+                    with self.rand.using(p) as _:
+                        mask = ring.rand(self.rand.cur(), shape)
+                    am = ring.add(am, mask)
+                ams.append(am)
+            return [ring.zeros(s) for s in shapes], ams
+        masks, ars = [], []
+        for x, shape in zip(xs, shapes):
+            with self.rand.using(0) as _:
+                mask = jnp.asarray(ring.rand(self.rand.cur(), shape))
+            masks.append(mask)
+            ars.append(ring.sub(x, mask))
+        # reveal is elementwise: flatten (keeping the limb axis for digit
+        # rings -- their add propagates carries within the last axis), one
+        # exchange, split back
+        L = getattr(ring, "nlimb", None)
+        full_shapes = [tuple(a.shape) for a in ars]
+        if L is not None:
+            flat = jnp.concatenate([jnp.reshape(a, (-1, L)) for a in ars])
+        else:
+            flat = jnp.concatenate([jnp.reshape(a, (-1,)) for a in ars])
+        flat = self.reveal_sym(flat, ring)
+        out, ofs = [], 0
+        for fs in full_shapes:
+            cnt = int(np.prod(fs[:-1] if L is not None else fs)) if fs else 1
+            out.append(jnp.reshape(flat[ofs : ofs + cnt], fs))
+            ofs += cnt
+        return out, masks
+
     def beaver_reconstruct(self, a, ring=None):
         """Dealer re-shares its term to the data parties
         (mpc/beavermult.go:57-92)."""
@@ -182,8 +222,7 @@ class MPC:
 
     def ss_mult_elem(self, a, b, ring=None):
         ring = ring or self.ring
-        ar, am = self.beaver_partition(a, ring)
-        br, bm = self.beaver_partition(b, ring)
+        (ar, br), (am, bm) = self.beaver_partition_many([a, b], ring)
         return self.beaver_reconstruct(
             self.beaver_mult_elem(ar, am, br, bm, ring), ring
         )
@@ -197,8 +236,7 @@ class MPC:
 
     def ss_mult_mat(self, a, b, ring=None):
         ring = ring or self.ring
-        ar, am = self.beaver_partition(a, ring)
-        br, bm = self.beaver_partition(b, ring)
+        (ar, br), (am, bm) = self.beaver_partition_many([a, b], ring)
         return self.beaver_reconstruct(self.beaver_mult_mat(ar, am, br, bm, ring), ring)
 
     # --------------------------------------------------------------- trunc

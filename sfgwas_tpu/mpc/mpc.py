@@ -260,12 +260,11 @@ class MPC:
                     mask_low = ring.rand(g, shape)
                 r_sh = ring.sub(r_sh, mask)
                 rl_sh = ring.sub(rl_sh, mask_low)
-            self.net.send(_np(r_sh), last)
-            self.net.send(_np(rl_sh), last)
+            self.net.send(np.stack([_np(r_sh), _np(rl_sh)]), last)
             r_share, rl_share = None, None
         elif self.pid == last:
-            r_share = self.net.recv(0)
-            rl_share = self.net.recv(0)
+            both = self.net.recv(0)
+            r_share, rl_share = jnp.asarray(both[0]), jnp.asarray(both[1])
         else:
             with self.rand.using(0) as g:
                 r_share = ring.rand(g, shape)
@@ -629,12 +628,12 @@ class MPC:
                     mask_bits = bitring.rand(g, (n, nbits_out))
                 r_sh = ring.sub(r_sh, mask)
                 rb_sh = bitring.sub(rb_sh, mask_bits)
-            self.net.send(_np(r_sh), last)
-            self.net.send(_np(rb_sh), last)
+            self.net.send((_np(r_sh), _np(rb_sh)), last)
             return jnp.asarray(r), jnp.asarray(r_bits)
         if self.pid == last:
-            r_sh = jnp.asarray(self.net.recv(0))
-            rb_sh = jnp.asarray(self.net.recv(0))
+            both = self.net.recv(0)
+            r_sh = jnp.asarray(both[0])
+            rb_sh = jnp.asarray(both[1])
         else:
             with self.rand.using(0) as g:
                 r_sh = jnp.asarray(ring.rand(g, (n,)))

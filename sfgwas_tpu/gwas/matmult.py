@@ -244,6 +244,31 @@ def mat_mult_cached(
     return out
 
 
+def mat_mult_cheat(cps: CryptoParams, mpc, A: B.CipherMatrix, mat: np.ndarray):
+    """Debug ground-truth kernel (CPMatMult0, gwas/matmult.go:442-459):
+    collectively decrypt A, multiply in the clear, re-encrypt.  For
+    validating the BSGS variants on shared (identical-across-parties)
+    inputs; NEVER part of the secure pipeline."""
+    slots = cps.slots
+    if mpc.pid == 0:
+        return None
+    rows = []
+    for cv in A:
+        vals = []
+        for ct in cv:
+            pt = mhe.collective_decrypt(mpc.net, cps, ct, -1)
+            vals.append(np.asarray(cps.ctx.decode(pt)))
+        rows.append(np.concatenate(vals)[: mat.shape[0]])
+    prod = np.stack(rows) @ mat.astype(np.float64)  # [s, m]
+    out = []
+    for i in range(len(A)):
+        row = []
+        for b0 in range(0, mat.shape[1], slots):
+            row.append(B.encrypt_float_vector(cps, prod[i, b0 : b0 + slots])[0])
+        out.append(row)
+    return out
+
+
 def mat_mult_sharded(
     cps: CryptoParams,
     A: B.CipherMatrix,

@@ -145,7 +145,28 @@ class ProtocolInfo:
 
         cache = self.cache_path("gkeep.txt")
         if cfg.use_cached_qc and os.path.exists(cache):
+            # checkpoint/resume path (use_cached_qc, gwas/qualcontrol.go:587):
+            # restore the SNP filter, the individual filter, and the stream
+            # state the scan path would have left behind, then re-exchange
+            # the filtered counts (every party has its own caches, including
+            # party 0 -- written below on the compute paths)
             snp_filt = np.loadtxt(cache).astype(bool)
+            n_ind = 0
+            if self.pid > 0:
+                shift = 0
+                for b, bs in zip(self.geno_blocks, self.geno_block_sizes):
+                    b.update_col_filt(snp_filt[shift : shift + bs])
+                    shift += bs
+                n_ind = gp.num_inds[self.pid]
+                ik_path = self.cache_path("ikeep.txt")
+                if os.path.exists(ik_path):
+                    ik = np.loadtxt(ik_path).astype(bool)
+                    for b in self.geno_blocks:
+                        b.update_row_filt(ik)
+                    self.pheno = self.pheno[ik]
+                    self.cov = self.cov[ik]
+                    n_ind = int(ik.sum())
+            self._exchange_filtered_counts(n_ind)
         elif cfg.use_precomputed_geno_count:
             if self.pid > 0:
                 ac, gc, miss = fs.read_geno_stats_file(
@@ -164,18 +185,32 @@ class ProtocolInfo:
                 sum(gp.num_inds),
                 fp,
             )
-            if self.pid > 0:
-                np.savetxt(cache, snp_filt.astype(int), fmt="%d")
+            # the revealed filter is public: every party (incl. the dealer)
+            # caches it so a use_cached_qc resume stays in lockstep
+            np.savetxt(cache, snp_filt.astype(int), fmt="%d")
         else:
             snp_filt = self._qc_scan_path(fp)
-            if self.pid > 0:
-                np.savetxt(cache, snp_filt.astype(int), fmt="%d")
+            np.savetxt(cache, snp_filt.astype(int), fmt="%d")
 
         gp.set_snp_filt(snp_filt)
         n_filt = int(np.asarray(snp_filt).sum())
         n_filt = qc_mod._share_count(self.mpc, n_filt)
         gp.set_filt_counts(gp.num_filt_inds, n_filt)
         self.net.print_log()
+
+    def _exchange_filtered_counts(self, n_ind: int):
+        """Hub-aggregated per-party post-QC individual counts
+        (gwas/qualcontrol.go:707-731)."""
+        pid = self.pid
+        counts_vec = self.net.aggregate(
+            np.eye(self.net.nparty, dtype=np.int64)[pid] * n_ind,
+            lambda a, b: np.asarray(a) + np.asarray(b),
+        )
+        if pid == self.mpc.hub_pid:
+            self.net.send(np.asarray(counts_vec), 0)
+        elif pid == 0:
+            counts_vec = np.asarray(self.net.recv(self.mpc.hub_pid))
+        self.gwas_params.num_filt_inds = [int(v) for v in counts_vec]
 
     def _qc_scan_path(self, fp: FilterParams) -> np.ndarray:
         """Scan-based QC (QualityControlProtocol, gwas/qualcontrol.go:645-792):
@@ -208,16 +243,7 @@ class ProtocolInfo:
             n_ind = int(ikeep.sum())
         else:
             n_ind = 0
-        # exchange filtered individual counts (gwas/qualcontrol.go:707-731)
-        counts_vec = self.net.aggregate(
-            np.eye(self.net.nparty, dtype=np.int64)[pid] * n_ind,
-            lambda a, b: np.asarray(a) + np.asarray(b),
-        )
-        if pid == self.mpc.hub_pid:
-            self.net.send(np.asarray(counts_vec), 0)
-        elif pid == 0:
-            counts_vec = np.asarray(self.net.recv(self.mpc.hub_pid))
-        gp.num_filt_inds = [int(v) for v in counts_vec]
+        self._exchange_filtered_counts(n_ind)
 
         # MAF + HWE on the miss-filtered, individual-filtered data
         n_keep = int(miss_filt.sum())

@@ -48,7 +48,7 @@ def make_data(tmpdir, rng):
     return data
 
 
-def make_config(tmpdir, pid, skip_pca=True, logistic=False):
+def make_config(tmpdir, pid, skip_pca=True, logistic=False, cached=False):
     cfg = Config()
     cfg.num_main_parties = 2
     cfg.ckks_params = "TEST8"
@@ -72,6 +72,9 @@ def make_config(tmpdir, pid, skip_pca=True, logistic=False):
         cfg.degree = 15
         cfg.A = -6.0
         cfg.B = 6.0
+    if cached:
+        cfg.use_cached_qc = True
+        cfg.use_cached_combined_q = True
     d = os.path.join(tmpdir, f"party{pid}")
     cfg.geno_binary_file_prefix = os.path.join(d, "geno")
     cfg.geno_block_size_file = os.path.join(d, "blocksizes.txt")
@@ -83,14 +86,16 @@ def make_config(tmpdir, pid, skip_pca=True, logistic=False):
     return cfg
 
 
-def run_protocol(tmpdir, skip_pca=True, logistic=False):
+def run_protocol(tmpdir, skip_pca=True, logistic=False, cached=False):
     cluster = LocalCluster(NPARTY)
     outs = [None] * NPARTY
     errs = [None] * NPARTY
 
     def work(pid):
         try:
-            cfg = make_config(tmpdir, pid if pid > 0 else 1, skip_pca, logistic)
+            cfg = make_config(
+                tmpdir, pid if pid > 0 else 1, skip_pca, logistic, cached
+            )
             if pid == 0:
                 cfg.pheno_file = cfg.covar_file = cfg.snp_position_file = ""
                 cfg.cache_dir = os.path.join(tmpdir, "party0", "cache")
@@ -157,6 +162,19 @@ def test_e2e_linear_no_pca(tmp_path):
     assert err < 2e-2, (err, got[:5], want[:5])
     corr = np.corrcoef(got, want)[0, 1]
     assert corr > 0.999, corr
+
+
+def test_e2e_cached_resume(tmp_path):
+    """Checkpoint/resume (SURVEY §5): a second run with use_cached_qc +
+    use_cached_combined_q must reproduce the statistics from the caches."""
+    rng = np.random.default_rng(99)
+    data = make_data(str(tmp_path), rng)
+    first = run_protocol(str(tmp_path), skip_pca=True)[1]
+    second = run_protocol(str(tmp_path), skip_pca=True, cached=True)[1]
+    assert second.shape == first.shape
+    # same QC filter and cached Qcomb -> numerically close statistics
+    # (fresh decrypt noise only)
+    assert np.abs(second - first).max() < 2e-3, np.abs(second - first).max()
 
 
 def oracle_qc(data):

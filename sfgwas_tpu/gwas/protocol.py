@@ -312,8 +312,9 @@ class ProtocolInfo:
             return None
 
         pid = self.pid
-        # decrypted-PC cache (use_cached_pca, gwas/gwas.go:333-360)
-        pca_cache = self.cache_path("Qpc.txt")
+        # decrypted-PC cache (use_cached_pca, gwas/gwas.go:333-360); party 0
+        # holds no PCs -- a marker file keeps its control flow in lockstep
+        pca_cache = self.cache_path("Qpc.txt" if pid > 0 else "Qpc.done")
         if cfg.use_cached_pca and os.path.exists(pca_cache):
             from ..crypto import basics as B
             from . import utilities as U
@@ -373,6 +374,9 @@ class ProtocolInfo:
                     self.net, self.cps, qpc, gp.num_filt_inds[p], p,
                     self.cache_path("Qpc.txt"),
                 )
+        else:
+            with open(self.cache_path("Qpc.done"), "w") as f:
+                f.write("1\n")
         self.net.print_log()
         return qpc
 

@@ -86,7 +86,8 @@ def make_config(tmpdir, pid, skip_pca=True, logistic=False, cached=False):
     return cfg
 
 
-def run_protocol(tmpdir, skip_pca=True, logistic=False, cached=False):
+def run_protocol(tmpdir, skip_pca=True, logistic=False, cached=False,
+                 cached_pca=False):
     cluster = LocalCluster(NPARTY)
     outs = [None] * NPARTY
     errs = [None] * NPARTY
@@ -96,6 +97,8 @@ def run_protocol(tmpdir, skip_pca=True, logistic=False, cached=False):
             cfg = make_config(
                 tmpdir, pid if pid > 0 else 1, skip_pca, logistic, cached
             )
+            if cached_pca:
+                cfg.use_cached_pca = True
             if pid == 0:
                 cfg.pheno_file = cfg.covar_file = cfg.snp_position_file = ""
                 cfg.cache_dir = os.path.join(tmpdir, "party0", "cache")
@@ -301,3 +304,9 @@ def test_e2e_with_pca(tmp_path):
     # randomized-PCA pipeline vs exact-PCA oracle: demand high correlation
     corr = np.corrcoef(got, want)[0, 1]
     assert corr > 0.9, corr
+    # resume from the decrypted Qpc cache (use_cached_pca + use_cached_qc)
+    outs2 = run_protocol(
+        str(tmp_path), skip_pca=False, cached=True, cached_pca=True
+    )
+    got2 = outs2[1]
+    assert np.abs(got2 - got).max() < 2e-2, np.abs(got2 - got).max()

@@ -387,6 +387,100 @@ class CkksContext:
         target key; returns (k0, k1) each [nmod, N] mod the active primes."""
         return self.keyswitch_decomposed(self.decompose_ntt(d, nmod), ksk, nmod)
 
+    # ------------------------------------------------- batched keyswitching
+    #
+    # The production BSGS matmult (gwas/matmult.py) batches every keyswitch:
+    # baby-step hoisted rotations share one decomposition applied under many
+    # Galois permutations at once, and giant-step rotations stack G
+    # ciphertexts through one fused decompose->mult->moddown chain.  These
+    # replace the reference's per-rotation evaluator calls
+    # (gwas/matmult.go:853-881) with [B, ...] tensor ops.
+
+    def decompose_ntt_b(self, d, nmod: int):
+        """Batched ModUp: d [B, nmod, N] NTT-domain -> [B, nmod, next, N]."""
+        ext_rows = tuple(range(nmod)) + (self.sp_row,)
+        next_ = len(ext_rows)
+        bsz = d.shape[0]
+        d_coeff = rns.ntt_b(
+            jnp.swapaxes(d, 0, 1), self.basis, tuple(range(nmod)), True
+        )  # [nmod, B, N]
+        exts = [self._extend(d_coeff[j], j, ext_rows) for j in range(nmod)]
+        ext = jnp.stack(exts)  # [nmod, next, B, N] coeff domain
+        ext = rns.ntt_b(
+            ext.reshape(nmod * next_, bsz, self.n), self.basis, ext_rows * nmod
+        ).reshape(nmod, next_, bsz, self.n)
+        return jnp.transpose(ext, (2, 0, 1, 3))
+
+    def keyswitch_decomposed_b(self, ext, k0, k1, nmod: int):
+        """ext/k0/k1: [B, nmod, next, N] -> (p0, p1) each [B, nmod(active), N]
+        after the external product, digit-sum and ModDown."""
+        ext_rows = tuple(range(nmod)) + (self.sp_row,)
+        t = _sel(self.basis, ext_rows)
+        q = t["q"][None, None]
+        mu = t["mu"][None, None]
+        p0 = mul_mod_barrett(ext, k0, q, mu)
+        p1 = mul_mod_barrett(ext, k1, q, mu)
+        acc0 = self._reduce_u32(jnp.sum(p0, axis=1, dtype=jnp.uint32), ext_rows)
+        acc1 = self._reduce_u32(jnp.sum(p1, axis=1, dtype=jnp.uint32), ext_rows)
+        return self._moddown_b(acc0, nmod), self._moddown_b(acc1, nmod)
+
+    def _moddown_b(self, x, nmod: int):
+        """x: [B, nmod+1, N] over active+special (NTT) -> [B, nmod, N]."""
+        dst = tuple(range(nmod))
+        sp = rns.ntt_b(x[:, nmod][None], self.basis, (self.sp_row,), True)[0]
+        ext = self._extend(sp, self.sp_row, dst)  # [nmod, B, N]
+        ext = jnp.swapaxes(rns.ntt_b(ext, self.basis, dst), 0, 1)
+        t = _sel(self.basis, dst)
+        diff = sub_mod(x[:, :nmod], ext, t["q"])
+        return mul_mod_shoup(diff, self.pinv[:nmod], self.pinv_s[:nmod], t["q"])
+
+    def perms_for(self, gs) -> jnp.ndarray:
+        return jnp.stack([self._perm_for(g) for g in gs])
+
+    def rotate_batch(self, c0s, c1s, gs, k0s, k1s, nmod: int):
+        """Rotate B stacked ciphertexts ([B, nmod, N] components), each by
+        its own Galois element gs[b] with stacked keys k0s/k1s
+        [B, nmod, next, N].  Returns (r0, r1) [B, nmod, N]."""
+        t = _sel(self.basis, tuple(range(nmod)))
+        perms = self.perms_for(gs)
+        ext = self.decompose_ntt_b(c1s, nmod)
+        ext_g = jnp.take_along_axis(ext, perms[:, None, None, :], axis=-1)
+        c0g = jnp.take_along_axis(c0s, perms[:, None, :], axis=-1)
+        k0, k1 = self.keyswitch_decomposed_b(ext_g, k0s, k1s, nmod)
+        return add_mod(c0g, k0, t["q"]), k1
+
+    def hoisted_rotations_b(self, ct: Ciphertext, shifts, k0s, k1s):
+        """Batched hoisted rotations: ONE decomposition of c1, applied under
+        every shift's Galois permutation with stacked keys k0s/k1s
+        [B, nmod, next, N] (B = number of nonzero shifts, in the order of
+        `shifts` with zeros removed).  Returns (R0, R1) [len(shifts), nmod, N]
+        where zero shifts hold the input ciphertext."""
+        nmod = ct.nmod
+        t = _sel(self.basis, tuple(range(nmod)))
+        nz = [k % self.params.slots for k in shifts]
+        gs = [self.galois_for_rotation(k) for k in nz if k != 0]
+        if not gs:
+            return ct.c0[None], ct.c1[None]
+        perms = self.perms_for(gs)
+        ext = self.decompose_ntt(ct.c1, nmod)
+        ext_g = jnp.take_along_axis(ext[None], perms[:, None, None, :], axis=-1)
+        c0g = jnp.take_along_axis(ct.c0[None], perms[:, None, :], axis=-1)
+        k0, k1 = self.keyswitch_decomposed_b(ext_g, k0s, k1s, nmod)
+        r0 = add_mod(c0g, k0, t["q"])
+        if all(k != 0 for k in nz):
+            return r0, k1
+        # interleave the zero-shift rows back in
+        out0, out1, j = [], [], 0
+        for k in nz:
+            if k == 0:
+                out0.append(ct.c0)
+                out1.append(ct.c1)
+            else:
+                out0.append(r0[j])
+                out1.append(k1[j])
+                j += 1
+        return jnp.stack(out0), jnp.stack(out1)
+
     def hoisted_rotations(self, ct: Ciphertext, shifts, rot_keys):
         """Rotate one ciphertext by many shifts, decomposing c1 only once
         (automorphisms commute with the per-digit lifting, so sigma_g of the

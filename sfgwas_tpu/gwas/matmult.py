@@ -23,10 +23,12 @@ gwas/matmult.go:121-194) and the lazily-normalized QX / QX^T products
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import Callable, Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,11 +36,15 @@ from ..crypto import basics as B
 from ..crypto import ckks as C
 from ..mpc import mhe
 from ..mpc.mhe import CryptoParams
-from ..ops.rns import _sel, add_mod, mul_mod_barrett, ntt, sub_mod
+from ..ops.rns import _mulhi32, _sel, add_mod, mul_mod_barrett, ntt, sub_mod
 
 # matmult working level: base + 2 levels (the analogue of the reference's
 # hardcoded maxLevel=5 at gwas/pca.go:112 and gwas/assoc.go:395)
 MM_LEVELS = 2
+
+# per-chunk device budget for the fused MAC kernel (bytes of diagonal polys
+# staged per call); one chunk is a run of whole giant groups of one block
+MM_CHUNK_BYTES = int(os.environ.get("SFGWAS_MM_CHUNK_BYTES", 256 * 1024 * 1024))
 
 
 def mm_nmod(cps: CryptoParams) -> int:
@@ -77,7 +83,9 @@ def _encode_diag_batch(cps: CryptoParams, vecs: np.ndarray, nmod: int) -> np.nda
     polys = ntt(
         jnp.asarray(out.reshape(K * nmod, n)), ctx.basis, rows
     ).reshape(K, nmod, n)
-    return polys
+    # host-resident: diagonal caches can exceed HBM at production scale; the
+    # fused MAC kernel stages them chunk-by-chunk (MM_CHUNK_BYTES)
+    return np.asarray(polys)
 
 
 def encode_block_diagonals(
@@ -167,7 +175,7 @@ def _load_diag_cache(path: str):
                 DiagBlock(
                     z[f"g_{i}_{j}"],
                     z[f"b_{i}_{j}"],
-                    jnp.asarray(p) if p.size else None,
+                    np.asarray(p) if p.size else None,
                     int(z[f"d_{i}_{j}"]),
                 )
             )
@@ -175,71 +183,300 @@ def _load_diag_cache(path: str):
     return out
 
 
-def mat_mult_cached(
-    cps: CryptoParams, A: B.CipherMatrix, cache: List[List[DiagBlock]]
-) -> B.CipherMatrix:
-    """A (s rows x nBlockRows cts) times the preprocessed matrix ->
-    s x nBlockCols cts (CPMatMult4CachedB / MatMult4StreamCompute).
+@functools.partial(jax.jit, static_argnames=("nseg", "nsub"))
+def _mac_chunk(R0, R1, P, bidx, seg2, q, mu, m32, nseg, nsub):
+    """Fused BSGS MAC: gather the hoisted baby rotations per diagonal,
+    Barrett-multiply against the encoded diagonal polys and lazily
+    segment-sum per giant group, reducing once per group (the reference's
+    uint128 deferred-reduction loop, gwas/matmult.go:247-324, as ONE device
+    program).  R*: [nB, nmod, N]; P: [K, nmod, N]; -> ([nseg, nmod, N], x2)
+    fully reduced."""
 
-    Per (row, block-row): hoisted baby rotations; per giant group: lazy
-    uint32 accumulation of diag products with a single deferred reduction
-    (the reference's uint128 accumulator analogue); giant rotation applied
-    after reduction; one rescale at the end."""
-    ctx = cps.ctx
-    nbr = len(cache)
-    nbc = len(cache[0])
-    s = len(A)
-    nmod = cache[0][0].polys.shape[1] if cache[0][0].polys is not None else mm_nmod(cps)
-    rows = tuple(range(nmod))
-    t = _sel(ctx.basis, rows)
-    d = cache[0][0].d
+    def red(x):
+        qhat = _mulhi32(x, m32)
+        r = x - qhat * q
+        r = jnp.where(r >= q, r - q, r)
+        return jnp.where(r >= q, r - q, r)
 
-    out: B.CipherMatrix = []
-    for i in range(s):
-        # accumulators per (block-col, giant): lazy uint32 sums
-        acc0: Dict[Tuple[int, int], jnp.ndarray] = {}
-        acc1: Dict[Tuple[int, int], jnp.ndarray] = {}
-        for bi in range(nbr):
-            ct = ctx.drop_to(A[i][bi], nmod)
-            needed_babies = sorted(
-                {int(b) for bj in range(nbc) for b in cache[bi][bj].babies}
+    def one(R):
+        p = mul_mod_barrett(R[bidx], P, q, mu)
+        a = jax.ops.segment_sum(p, seg2, num_segments=nseg * nsub)
+        a = red(a)
+        if nsub > 1:
+            a = jnp.sum(
+                a.reshape(nseg, nsub, *a.shape[1:]), axis=1, dtype=jnp.uint32
             )
-            rots = ctx.hoisted_rotations(ct, needed_babies, cps.rot_keys)
+            a = red(a)
+        return a
+
+    return one(R0), one(R1)
+
+
+@functools.partial(jax.jit, static_argnames=("nbc",))
+def _combine_rotated(r0, r1, bj_ids, q, m32, nbc):
+    """Sum the rotated giant-group ciphertexts per output block column:
+    lazy u32 segment sum + one Barrett reduce."""
+
+    def red(x):
+        qhat = _mulhi32(x, m32)
+        r = x - qhat * q
+        r = jnp.where(r >= q, r - q, r)
+        return jnp.where(r >= q, r - q, r)
+
+    return (
+        red(jax.ops.segment_sum(r0, bj_ids, num_segments=nbc)),
+        red(jax.ops.segment_sum(r1, bj_ids, num_segments=nbc)),
+    )
+
+
+class _MatmulPlan:
+    """Static index plan for one preprocessed matrix: global segment list
+    (block-col, giant), per-block-row baby unions, and group-aligned chunks
+    feeding _mac_chunk."""
+
+    def __init__(self, cps: CryptoParams, cache, nmod: int):
+        self.nmod = nmod
+        self.d = cache[0][0].d
+        nbr, nbc = len(cache), len(cache[0])
+        self.nbr, self.nbc = nbr, nbc
+        qmax = max(cps.params.q_primes[:nmod])
+        # derived lazy-accumulation bound: products are < q each; a u32 sum
+        # of t terms is exact iff t*(q-1) <= 2^32-1
+        self.max_lazy = (2**32 - 1) // (qmax - 1)
+        assert self.max_lazy >= 2, "primes too large for lazy u32 accumulation"
+        # global segments: (bj, giant) sorted
+        seg_index: Dict[Tuple[int, int], int] = {}
+        for bj in range(nbc):
+            giants = sorted(
+                {
+                    int(g)
+                    for bi in range(nbr)
+                    if cache[bi][bj].polys is not None
+                    for g in cache[bi][bj].giants
+                }
+            )
+            for g in giants:
+                seg_index[(bj, g)] = len(seg_index)
+        self.segments = sorted(seg_index, key=seg_index.get)
+        self.seg_index = seg_index
+        # per block row: sorted baby union + chunks
+        self.babies: List[List[int]] = []
+        self.chunks: List[List[dict]] = []
+        max_group = 1
+        for bi in range(nbr):
+            bs = sorted(
+                {
+                    int(b)
+                    for bj in range(nbc)
+                    if cache[bi][bj].polys is not None
+                    for b in cache[bi][bj].babies
+                }
+            )
+            self.babies.append(bs)
+            bpos = {b: k for k, b in enumerate(bs)}
+            row_chunks: List[dict] = []
             for bj in range(nbc):
                 blk = cache[bi][bj]
                 if blk.polys is None:
                     continue
-                for k in range(len(blk.giants)):
-                    g, b = int(blk.giants[k]), int(blk.babies[k])
-                    rct = rots[b]
-                    p = blk.polys[k]
-                    m0 = mul_mod_barrett(rct.c0, p, t["q"], t["mu"])
-                    m1 = mul_mod_barrett(rct.c1, p, t["q"], t["mu"])
-                    key = (bj, g)
-                    if key in acc0:
-                        # lazy add: values < q < 2^26; up to ~64 adds fit u32
-                        acc0[key] = acc0[key] + m0
-                        acc1[key] = acc1[key] + m1
-                    else:
-                        acc0[key] = m0
-                        acc1[key] = m1
-                    if (k + 1) % 48 == 0:  # keep lazy sums below 2^32
-                        acc0[key] = ctx._reduce_u32(acc0[key], rows)
-                        acc1[key] = ctx._reduce_u32(acc1[key], rows)
-        row_out = []
+                K = len(blk.giants)
+                # group boundaries (giants are stored sorted)
+                bounds = [0] + [
+                    k
+                    for k in range(1, K)
+                    if blk.giants[k] != blk.giants[k - 1]
+                ] + [K]
+                max_group = max(
+                    max_group,
+                    max(bounds[x + 1] - bounds[x] for x in range(len(bounds) - 1)),
+                )
+                budget = max(
+                    1, MM_CHUNK_BYTES // (nmod * blk.polys.shape[-1] * 4)
+                )
+                start = 0
+                for x in range(len(bounds) - 1):
+                    if (
+                        bounds[x + 1] - bounds[start] > budget
+                        and bounds[x] > bounds[start]
+                    ):
+                        row_chunks.append(self._chunk(blk, bj, bounds[start], bounds[x], bpos))
+                        start = x
+                row_chunks.append(self._chunk(blk, bj, bounds[start], K, bpos))
+            self.chunks.append(row_chunks)
+        self.nsub = -(-max_group // self.max_lazy)
+        assert self.nsub * self.max_lazy >= max_group
+        # finalize per-chunk local segment ids with the global nsub
+        for row_chunks in self.chunks:
+            for c in row_chunks:
+                pos = c.pop("pos_in_group")
+                c["seg2"] = jnp.asarray(
+                    c.pop("seg_local") * self.nsub + pos // self.max_lazy,
+                    dtype=np.int32,
+                )
+                c["bidx"] = jnp.asarray(c["bidx"], dtype=np.int32)
+
+    def _chunk(self, blk: DiagBlock, bj: int, k0: int, k1: int, bpos) -> dict:
+        giants = blk.giants[k0:k1]
+        segs = sorted({int(g) for g in giants})
+        seg_of = {g: x for x, g in enumerate(segs)}
+        seg_local = np.array([seg_of[int(g)] for g in giants], dtype=np.int64)
+        pos = np.zeros(len(giants), dtype=np.int64)
+        run: Dict[int, int] = {}
+        for x, g in enumerate(giants):
+            g = int(g)
+            pos[x] = run.get(g, 0)
+            run[g] = pos[x] + 1
+        return {
+            "P": blk.polys[k0:k1],
+            "bidx": np.array([bpos[int(b)] for b in blk.babies[k0:k1]]),
+            "seg_local": seg_local,
+            "pos_in_group": pos,
+            "nseg": len(segs),
+            "bj": bj,
+            # global accumulator slots of this chunk's segments (NOT
+            # necessarily contiguous: other block rows may contribute
+            # giants this one lacks)
+            "seg_gidx": jnp.asarray(
+                [self.seg_index[(bj, g)] for g in segs], dtype=np.int32
+            ),
+        }
+
+
+_plan_cache: Dict[int, _MatmulPlan] = {}
+
+
+def _plan_for(cps, cache, nmod) -> _MatmulPlan:
+    key = id(cache)
+    plan = _plan_cache.get(key)
+    if plan is None or plan.nmod != nmod:
+        plan = _MatmulPlan(cps, cache, nmod)
+        _plan_cache.clear()  # hold at most a few plans
+        _plan_cache[key] = plan
+    return plan
+
+
+def mat_mult_cached(
+    cps: CryptoParams,
+    A: B.CipherMatrix,
+    cache: List[List[DiagBlock]],
+    devices=None,
+) -> B.CipherMatrix:
+    """A (s rows x nBlockRows cts) times the preprocessed matrix ->
+    s x nBlockCols cts (CPMatMult4CachedB / MatMult4StreamCompute,
+    gwas/matmult.go:1043-1236).
+
+    Fully batched: per (row, block-row) ONE hoisted-keyswitch batch rotates
+    the ciphertext by every needed baby shift; the diagonal MACs run as
+    group-aligned fused chunks (_mac_chunk); the giant-step rotations of all
+    accumulated groups run as ONE batched keyswitch; per block column a
+    final segment-sum + rescale.  With `devices`, MAC chunks round-robin
+    over the local chips by block column (bit-identical: exact modular
+    arithmetic is associativity-safe)."""
+    ctx = cps.ctx
+    nbr, nbc = len(cache), len(cache[0])
+    s = len(A)
+    some = next(
+        (cache[bi][bj] for bi in range(nbr) for bj in range(nbc)
+         if cache[bi][bj].polys is not None),
+        None,
+    )
+    if some is None:
+        return [[ctx.zero_ct(mm_nmod(cps)) for _ in range(nbc)] for _ in range(s)]
+    nmod = some.polys.shape[1]
+    rows = tuple(range(nmod))
+    t = _sel(ctx.basis, rows)
+    q, mu = t["q"], t["mu"]
+    m32 = ctx.m32[jnp.asarray(rows)]
+    d = some.d
+    plan = _plan_for(cps, cache, nmod)
+    nseg_tot = len(plan.segments)
+
+    multi = devices is not None and len(devices) > 1
+    if multi:
+        dev_of_bj = {bj: devices[bj % len(devices)] for bj in range(nbc)}
+        staged: Dict[Tuple[int, int], jnp.ndarray] = {}
+
+    # batched giant-rotation keys (epilogue)
+    rot_segs = [si for si, (bj, g) in enumerate(plan.segments) if g > 0]
+    gels = [ctx.galois_for_rotation((g * d) % cps.slots) for (bj, g) in
+            (plan.segments[si] for si in rot_segs)]
+    uniq_gels = sorted(set(gels))
+    if uniq_gels:
+        gk0, gk1 = cps.stacked_keys(uniq_gels, nmod)
+        gel_pos = {g: x for x, g in enumerate(uniq_gels)}
+        gsel = jnp.asarray([gel_pos[g] for g in gels], dtype=jnp.int32)
+
+    out: B.CipherMatrix = []
+    for i in range(s):
+        ACC0 = jnp.zeros((nseg_tot, nmod, ctx.n), jnp.uint32)
+        ACC1 = jnp.zeros((nseg_tot, nmod, ctx.n), jnp.uint32)
+        for bi in range(nbr):
+            babies = plan.babies[bi]
+            if not babies:
+                continue
+            ct = ctx.drop_to(A[i][bi], nmod)
+            nz = [b for b in babies if b % cps.slots != 0]
+            if nz:
+                bk0, bk1 = cps.stacked_keys(
+                    [ctx.galois_for_rotation(b) for b in nz], nmod
+                )
+            else:
+                bk0 = bk1 = None
+            R0, R1 = ctx.hoisted_rotations_b(ct, babies, bk0, bk1)
+            for c in plan.chunks[bi]:
+                if multi:
+                    dv = dev_of_bj[c["bj"]]
+                    key = id(c["P"])
+                    if key not in staged:
+                        staged[key] = jax.device_put(jnp.asarray(c["P"]), dv)
+                    a0, a1 = _mac_chunk(
+                        jax.device_put(R0, dv), jax.device_put(R1, dv),
+                        staged[key],
+                        jax.device_put(c["bidx"], dv), jax.device_put(c["seg2"], dv),
+                        jax.device_put(q, dv), jax.device_put(mu, dv),
+                        jax.device_put(m32, dv),
+                        nseg=c["nseg"], nsub=plan.nsub,
+                    )
+                    a0 = jax.device_put(a0, devices[0])
+                    a1 = jax.device_put(a1, devices[0])
+                else:
+                    a0, a1 = _mac_chunk(
+                        R0, R1, jnp.asarray(c["P"]), c["bidx"], c["seg2"],
+                        q, mu, m32, nseg=c["nseg"], nsub=plan.nsub,
+                    )
+                gi = c["seg_gidx"]
+                ACC0 = ACC0.at[gi].set(add_mod(ACC0[gi], a0, q))
+                ACC1 = ACC1.at[gi].set(add_mod(ACC1[gi], a1, q))
+
         in_scale = A[i][0].scale * ctx.params.scale
+        # batched giant rotations of every (bj, g>0) segment
+        if rot_segs:
+            idx = jnp.asarray(rot_segs, dtype=jnp.int32)
+            r0, r1 = ctx.rotate_batch(
+                ACC0[idx], ACC1[idx], gels, gk0[gsel], gk1[gsel], nmod
+            )
+            assert len(rot_segs) <= plan.max_lazy * plan.nsub
+            bj_ids = jnp.asarray(
+                [plan.segments[si][0] for si in rot_segs], dtype=jnp.int32
+            )
+            # lazy-sum bound for the per-bj combine: giants per block < d
+            assert max(
+                sum(1 for si in rot_segs if plan.segments[si][0] == bj)
+                for bj in range(nbc)
+            ) <= plan.max_lazy
+            s0, s1 = _combine_rotated(r0, r1, bj_ids, q, m32, nbc=nbc)
+        else:
+            s0 = s1 = jnp.zeros((nbc, nmod, ctx.n), jnp.uint32)
+        row_out = []
         for bj in range(nbc):
-            total: Optional[C.Ciphertext] = None
-            for g in sorted({g for (bjj, g) in acc0 if bjj == bj}):
-                c0 = ctx._reduce_u32(acc0[(bj, g)], rows)
-                c1 = ctx._reduce_u32(acc1[(bj, g)], rows)
-                ct_g = C.Ciphertext(c0, c1, nmod, in_scale)
-                if g > 0:
-                    ct_g = B.rotate_left(cps, ct_g, g * d)
-                total = ct_g if total is None else ctx.add(total, ct_g)
-            if total is None:
-                total = ctx.zero_ct(nmod)
-            row_out.append(ctx.rescale(total))
+            c0, c1 = s0[bj], s1[bj]
+            if (bj, 0) in plan.seg_index:
+                si = plan.seg_index[(bj, 0)]
+                c0 = add_mod(c0, ACC0[si], q)
+                c1 = add_mod(c1, ACC1[si], q)
+            row_out.append(
+                ctx.rescale(C.Ciphertext(c0, c1, nmod, in_scale))
+            )
         out.append(row_out)
     return out
 
@@ -276,100 +513,15 @@ def mat_mult_sharded(
     devices=None,
 ) -> B.CipherMatrix:
     """mat_mult_cached with the SNP (block-column) axis distributed over a
-    party's local chips (SURVEY.md §2.9: within-party chip sharding).
-
-    Output block-columns are independent, so tiles round-robin across
-    devices with no collectives: each device holds its tiles' diagonal
-    polys + a replica of the hoisted baby rotations, and XLA dispatches the
-    per-device accumulation chains concurrently.  Numerically identical to
-    mat_mult_cached (same op order per tile)."""
-    import jax
-
+    party's local chips (SURVEY.md §2.9 within-party chip sharding): MAC
+    chunks run on the chip owning their block column while the hoisted
+    rotations + giant epilogue stay on the default chip.  All arithmetic is
+    exact modular, so the result is bit-identical to single-device."""
     if not devices:
         devices = jax.local_devices()
     if len(devices) == 1:
         return mat_mult_cached(cps, A, cache)
-
-    ctx = cps.ctx
-    nbr = len(cache)
-    nbc = len(cache[0])
-    s = len(A)
-    nmod = (
-        cache[0][0].polys.shape[1] if cache[0][0].polys is not None else mm_nmod(cps)
-    )
-    rows = tuple(range(nmod))
-    t = _sel(ctx.basis, rows)
-    d = cache[0][0].d
-    dev_of = {bj: devices[bj % len(devices)] for bj in range(nbc)}
-
-    # stage each tile's polys on its device once
-    polys_dev: Dict[Tuple[int, int], jnp.ndarray] = {}
-    for bi in range(nbr):
-        for bj in range(nbc):
-            blk = cache[bi][bj]
-            if blk.polys is not None:
-                polys_dev[(bi, bj)] = jax.device_put(blk.polys, dev_of[bj])
-
-    out: B.CipherMatrix = []
-    for i in range(s):
-        acc0: Dict[Tuple[int, int], jnp.ndarray] = {}
-        acc1: Dict[Tuple[int, int], jnp.ndarray] = {}
-        for bi in range(nbr):
-            ct = ctx.drop_to(A[i][bi], nmod)
-            needed = sorted({int(b) for bj in range(nbc) for b in cache[bi][bj].babies})
-            rots = ctx.hoisted_rotations(ct, needed, cps.rot_keys)
-            # replicate the rotated cts onto every participating device
-            rep = {
-                dv: {
-                    b: (
-                        jax.device_put(rc.c0, dv),
-                        jax.device_put(rc.c1, dv),
-                    )
-                    for b, rc in rots.items()
-                }
-                for dv in set(dev_of.values())
-            }
-            qd = {dv: jax.device_put(t["q"], dv) for dv in rep}
-            mud = {dv: jax.device_put(t["mu"], dv) for dv in rep}
-            for bj in range(nbc):
-                blk = cache[bi][bj]
-                if blk.polys is None:
-                    continue
-                dv = dev_of[bj]
-                P = polys_dev[(bi, bj)]
-                for k in range(len(blk.giants)):
-                    g, b = int(blk.giants[k]), int(blk.babies[k])
-                    rc0, rc1 = rep[dv][b]
-                    m0 = mul_mod_barrett(rc0, P[k], qd[dv], mud[dv])
-                    m1 = mul_mod_barrett(rc1, P[k], qd[dv], mud[dv])
-                    key = (bj, g)
-                    if key in acc0:
-                        acc0[key] = acc0[key] + m0
-                        acc1[key] = acc1[key] + m1
-                    else:
-                        acc0[key] = m0
-                        acc1[key] = m1
-                    if (k + 1) % 48 == 0:
-                        acc0[key] = ctx._reduce_u32(acc0[key], rows)
-                        acc1[key] = ctx._reduce_u32(acc1[key], rows)
-        row_out = []
-        in_scale = A[i][0].scale * ctx.params.scale
-        for bj in range(nbc):
-            total: Optional[C.Ciphertext] = None
-            for g in sorted({g for (bjj, g) in acc0 if bjj == bj}):
-                # pull partial sums back to the default device for the
-                # rotation/keyswitch epilogue (keys live there)
-                c0 = ctx._reduce_u32(jax.device_put(acc0[(bj, g)], devices[0]), rows)
-                c1 = ctx._reduce_u32(jax.device_put(acc1[(bj, g)], devices[0]), rows)
-                ct_g = C.Ciphertext(c0, c1, nmod, in_scale)
-                if g > 0:
-                    ct_g = B.rotate_left(cps, ct_g, g * d)
-                total = ct_g if total is None else ctx.add(total, ct_g)
-            if total is None:
-                total = ctx.zero_ct(nmod)
-            row_out.append(ctx.rescale(total))
-        out.append(row_out)
-    return out
+    return mat_mult_cached(cps, A, cache, devices=devices)
 
 
 def mat_mult_stream(

@@ -47,6 +47,7 @@ class CryptoParams:
     rlk: Optional[C.KSwitchKey]
     rot_keys: Dict[int, C.KSwitchKey] = field(default_factory=dict)
     enc_rng: np.random.Generator = None
+    _kstack: Dict = field(default_factory=dict, repr=False)
 
     @property
     def params(self) -> CkksParams:
@@ -55,6 +56,19 @@ class CryptoParams:
     @property
     def slots(self) -> int:
         return self.ctx.params.slots
+
+    def stacked_keys(self, gelems, nmod: int):
+        """Rotation keys for the given Galois elements, stacked and sliced to
+        the active level: ([B, nmod, nmod+1, N], [B, ...]) device arrays for
+        the batched keyswitch (ckks.keyswitch_decomposed_b).  Cached per
+        (gelems, nmod) -- the BSGS baby/giant sets recur every matmult."""
+        key = (tuple(gelems), nmod)
+        if key not in self._kstack:
+            idx = jnp.asarray(tuple(range(nmod)) + (self.ctx.sp_row,))
+            d0 = jnp.stack([self.rot_keys[g].d0[:nmod][:, idx] for g in gelems])
+            d1 = jnp.stack([self.rot_keys[g].d1[:nmod][:, idx] for g in gelems])
+            self._kstack[key] = (d0, d1)
+        return self._kstack[key]
 
 
 def generate_rot_shifts(slots: int, small_dim: int = 20) -> List[int]:

@@ -300,6 +300,46 @@ def ntt(x, basis: RnsBasis, rows, inverse: bool = False):
     return mul_mod_shoup(x, t["ninv"], t["ninv_s"], t["q"])
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def ntt_b(x, basis: RnsBasis, rows, inverse: bool = False):
+    """Batched negacyclic NTT: x [L, B, N] with len(rows) == L; the batch
+    axis shares each row's twiddles.  Same layout conventions as ntt()."""
+    n = basis.n
+    t = _sel(basis, rows)
+    L, Bdim = x.shape[0], x.shape[1]
+    q = t["q"][:, None, :, None]
+    if not inverse:
+        tw, tws = t["psi"], t["psi_s"]
+        m = 1
+        while m < n:
+            half = n // (2 * m)
+            xv = x.reshape(L, Bdim, m, 2, half)
+            S = tw[:, None, m : 2 * m, None]
+            Ss = tws[:, None, m : 2 * m, None]
+            U = xv[:, :, :, 0, :]
+            V = mul_mod_shoup(xv[:, :, :, 1, :], S, Ss, q)
+            x = jnp.stack(
+                [add_mod(U, V, q), sub_mod(U, V, q)], axis=3
+            ).reshape(L, Bdim, n)
+            m *= 2
+        return x
+    tw, tws = t["ipsi"], t["ipsi_s"]
+    m = n
+    while m > 1:
+        h = m // 2
+        half = n // m
+        xv = x.reshape(L, Bdim, h, 2, half)
+        S = tw[:, None, h : 2 * h, None]
+        Ss = tws[:, None, h : 2 * h, None]
+        U = xv[:, :, :, 0, :]
+        V = xv[:, :, :, 1, :]
+        lo = add_mod(U, V, q)
+        hi = mul_mod_shoup(sub_mod(U, V, q), S, Ss, q)
+        x = jnp.stack([lo, hi], axis=3).reshape(L, Bdim, n)
+        m = h
+    return mul_mod_shoup(x, t["ninv"][:, None], t["ninv_s"][:, None], t["q"][:, None])
+
+
 def poly_mul_pointwise(a, b, basis: RnsBasis, rows=None):
     if rows is None:
         L = a.shape[0]

@@ -125,14 +125,14 @@ def cmult_scalar(cps, X: CipherVector, ct: C.Ciphertext) -> CipherVector:
 
 
 def rotate_left(cps, ct: C.Ciphertext, k: int) -> C.Ciphertext:
-    return cps.ctx.rotate(ct, k % cps.slots, cps.rot_keys)
+    return cps.rotate(ct, k % cps.slots)
 
 
 def rotate_right(cps, ct: C.Ciphertext, k: int) -> C.Ciphertext:
     k = k % cps.slots
     if k == 0:
         return ct.copy()
-    return cps.ctx.rotate(ct, cps.slots - k, cps.rot_keys)
+    return cps.rotate(ct, cps.slots - k)
 
 
 def rotate_and_add(cps, ct: C.Ciphertext, size: int) -> C.Ciphertext:

@@ -30,6 +30,7 @@ from ..ops.rns import (
     mul_mod_shoup,
     neg_mod,
     ntt,
+    ntt_b,
     sub_mod,
     _mulhi32,
     _sel,
@@ -127,10 +128,27 @@ class CkksContext:
 
     def sample_uniform(self, rng: np.random.Generator, rows: Tuple[int, ...]) -> jnp.ndarray:
         """Uniform poly on rows (already valid in any domain; used as NTT)."""
-        out = np.zeros((len(rows), self.n), dtype=np.uint32)
-        for k, r in enumerate(rows):
-            out[k] = rng.integers(0, self.basis.primes[r], size=self.n, dtype=np.int64)
-        return jnp.asarray(out)
+        return self.sample_uniform_b(rng, rows, 1)[0]
+
+    def sample_uniform_b(self, rng: np.random.Generator, rows, batch: int) -> jnp.ndarray:
+        """Batched uniform residues [batch, len(rows), N]: one 64-bit draw
+        folded per prime (statistical distance < 2^-38 from uniform), instead
+        of per-row bounded-integer loops -- the keygen hot path."""
+        q = np.array([self.basis.primes[r] for r in rows], np.uint64)[None, :, None]
+        raw = rng.integers(
+            0, 1 << 64, size=(batch, len(rows), self.n), dtype=np.uint64
+        )
+        return jnp.asarray((raw % q).astype(np.uint32))
+
+    def small_to_rns_b(self, smalls: np.ndarray, rows) -> jnp.ndarray:
+        """Batched small_to_rns: [B, N] coeff-domain signed smalls ->
+        [B, len(rows), N] NTT-domain residues."""
+        q = np.array([self.basis.primes[r] for r in rows], np.int64)[None, :, None]
+        res = np.mod(smalls[:, None, :], q).astype(np.uint32)
+        out = ntt_b(
+            jnp.asarray(np.swapaxes(res, 0, 1)), self.basis, tuple(rows)
+        )
+        return jnp.swapaxes(out, 0, 1)
 
     # -------------------------------------------------------------- keygen
 
@@ -147,32 +165,47 @@ class CkksContext:
         )
         return PublicKey(p0, a)
 
+    def _gadget_terms(self, s_src: jnp.ndarray) -> jnp.ndarray:
+        """(P mod q_j) * s_src[j] per digit row j: [nq, N]."""
+        psp = self.params.special
+        qv = np.array(self.params.q_primes, np.uint64)
+        pj = np.array([psp % qj for qj in self.params.q_primes], np.uint64)
+        pj_dev = jnp.asarray(pj.astype(np.uint32))[:, None]
+        pj_sh = jnp.asarray(((pj << np.uint64(32)) // qv).astype(np.uint32))[:, None]
+        t = _sel(self.basis, self.full_rows)
+        return mul_mod_shoup(s_src[: self.nq], pj_dev, pj_sh, t["q"][: self.nq])
+
+    def kswitch_share(
+        self, s_tgt: jnp.ndarray, s_diag: Optional[jnp.ndarray],
+        a: jnp.ndarray, e: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Batched switching-key share for all digits at once:
+        share[j] = -a[j]*s_tgt + e[j] (+ (P mod q_j)*s_diag[j] at row j).
+        a, e: [nq, nq+1, N]; returns [nq, nq+1, N]."""
+        t = _sel(self.basis, self.full_rows)
+        q, mu = t["q"][None], t["mu"][None]
+        k0 = add_mod(
+            neg_mod(mul_mod_barrett(a, s_tgt[None], q, mu), q), e, q
+        )
+        if s_diag is not None:
+            terms = self._gadget_terms(s_diag)
+            diag = jnp.arange(self.nq)
+            k0 = k0.at[diag, diag].set(
+                add_mod(k0[diag, diag], terms, t["q"][: self.nq])
+            )
+        return k0
+
     def gen_kswitch_key(
         self, s_src: jnp.ndarray, sk: SecretKey, rng: np.random.Generator
     ) -> KSwitchKey:
-        """Key switching s_src -> sk (both [nq+1, N] NTT)."""
-        rows = self.full_rows
-        t = _sel(self.basis, rows)
-        psp = self.params.special
-        d0s, d1s = [], []
-        for j in range(self.nq):
-            a = self.sample_uniform(rng, rows)
-            e = self.small_to_rns(self.sample_gauss(rng), rows)
-            k0 = add_mod(
-                neg_mod(mul_mod_barrett(a, sk.s, t["q"], t["mu"]), t["q"]), e, t["q"]
-            )
-            # + (P mod q_j) * s_src on row j only
-            pj = psp % self.params.q_primes[j]
-            term = mul_mod_shoup(
-                s_src[j : j + 1],
-                jnp.full((1, 1), pj, jnp.uint32),
-                jnp.full((1, 1), (pj << 32) // self.params.q_primes[j], jnp.uint32),
-                t["q"][j : j + 1],
-            )
-            k0 = k0.at[j].set(add_mod(k0[j], term[0], t["q"][j]))
-            d0s.append(k0)
-            d1s.append(a)
-        return KSwitchKey(jnp.stack(d0s), jnp.stack(d1s))
+        """Key switching s_src -> sk (both [nq+1, N] NTT); all digits
+        generated in one batched pass."""
+        a = self.sample_uniform_b(rng, self.full_rows, self.nq)
+        e = self.small_to_rns_b(
+            np.stack([self.sample_gauss(rng) for _ in range(self.nq)]),
+            self.full_rows,
+        )
+        return KSwitchKey(self.kswitch_share(sk.s, s_src, a, e), a)
 
     def gen_relin_key(self, sk: SecretKey, rng: np.random.Generator) -> KSwitchKey:
         rows = self.full_rows

@@ -200,7 +200,8 @@ def _mac_chunk(R0, R1, P, bidx, seg2, q, mu, m32, nseg, nsub):
 
     def one(R):
         p = mul_mod_barrett(R[bidx], P, q, mu)
-        a = jax.ops.segment_sum(p, seg2, num_segments=nseg * nsub)
+        # one extra dump segment absorbs the zero-poly padding entries
+        a = jax.ops.segment_sum(p, seg2, num_segments=nseg * nsub + 1)[:-1]
         a = red(a)
         if nsub > 1:
             a = jnp.sum(
@@ -305,15 +306,44 @@ class _MatmulPlan:
             self.chunks.append(row_chunks)
         self.nsub = -(-max_group // self.max_lazy)
         assert self.nsub * self.max_lazy >= max_group
-        # finalize per-chunk local segment ids with the global nsub
-        for row_chunks in self.chunks:
-            for c in row_chunks:
-                pos = c.pop("pos_in_group")
-                c["seg2"] = jnp.asarray(
-                    c.pop("seg_local") * self.nsub + pos // self.max_lazy,
-                    dtype=np.int32,
+        # pad every chunk to common (K, nseg) so _mac_chunk compiles once
+        # per workload; padding entries carry zero polys and point at the
+        # dump segment / dump accumulator row
+        all_chunks = [c for row in self.chunks for c in row]
+        self.k_pad = max(len(c["bidx"]) for c in all_chunks)
+        self.nseg_pad = max(c["nseg"] for c in all_chunks)
+        self.nb_pad = max((len(b) for b in self.babies if b), default=1)
+        total_bytes = 0
+        for c in all_chunks:
+            K = len(c["bidx"])
+            pos = c.pop("pos_in_group")
+            seg2 = c.pop("seg_local") * self.nsub + pos // self.max_lazy
+            pad = self.k_pad - K
+            if pad:
+                c["P"] = np.concatenate(
+                    [c["P"], np.zeros((pad,) + c["P"].shape[1:], np.uint32)]
                 )
-                c["bidx"] = jnp.asarray(c["bidx"], dtype=np.int32)
+                seg2 = np.concatenate(
+                    [seg2, np.full(pad, self.nseg_pad * self.nsub, np.int64)]
+                )
+                c["bidx"] = np.concatenate([c["bidx"], np.zeros(pad, np.int64)])
+            c["seg2"] = jnp.asarray(seg2, dtype=np.int32)
+            c["bidx"] = jnp.asarray(c["bidx"], dtype=np.int32)
+            gidx = np.asarray(c.pop("seg_gidx"))
+            c["seg_gidx"] = jnp.asarray(
+                np.concatenate(
+                    [gidx, np.full(self.nseg_pad - len(gidx), len(self.segments))]
+                ).astype(np.int32)
+            )
+            c["nseg"] = self.nseg_pad
+            total_bytes += c["P"].nbytes
+        # stage diagonal polys on-device once when the whole cache fits the
+        # budget (they are reused across rows / power iterations); else
+        # stream per call
+        self.stage_ok = total_bytes <= int(
+            os.environ.get("SFGWAS_MM_STAGE_BYTES", 6 * 1024**3)
+        )
+        self.staged: Dict[int, jnp.ndarray] = {}
 
     def _chunk(self, blk: DiagBlock, bj: int, k0: int, k1: int, bpos) -> dict:
         giants = blk.giants[k0:k1]
@@ -408,8 +438,9 @@ def mat_mult_cached(
 
     out: B.CipherMatrix = []
     for i in range(s):
-        ACC0 = jnp.zeros((nseg_tot, nmod, ctx.n), jnp.uint32)
-        ACC1 = jnp.zeros((nseg_tot, nmod, ctx.n), jnp.uint32)
+        # one extra dump row absorbs padded-segment scatters
+        ACC0 = jnp.zeros((nseg_tot + 1, nmod, ctx.n), jnp.uint32)
+        ACC1 = jnp.zeros((nseg_tot + 1, nmod, ctx.n), jnp.uint32)
         for bi in range(nbr):
             babies = plan.babies[bi]
             if not babies:
@@ -423,6 +454,12 @@ def mat_mult_cached(
             else:
                 bk0 = bk1 = None
             R0, R1 = ctx.hoisted_rotations_b(ct, babies, bk0, bk1)
+            if R0.shape[0] < plan.nb_pad:
+                padr = jnp.zeros(
+                    (plan.nb_pad - R0.shape[0], nmod, ctx.n), jnp.uint32
+                )
+                R0 = jnp.concatenate([R0, padr])
+                R1 = jnp.concatenate([R1, padr])
             for c in plan.chunks[bi]:
                 if multi:
                     dv = dev_of_bj[c["bj"]]
@@ -440,8 +477,14 @@ def mat_mult_cached(
                     a0 = jax.device_put(a0, devices[0])
                     a1 = jax.device_put(a1, devices[0])
                 else:
+                    key = id(c["P"])
+                    P = plan.staged.get(key)
+                    if P is None:
+                        P = jnp.asarray(c["P"])
+                        if plan.stage_ok:
+                            plan.staged[key] = P
                     a0, a1 = _mac_chunk(
-                        R0, R1, jnp.asarray(c["P"]), c["bidx"], c["seg2"],
+                        R0, R1, P, c["bidx"], c["seg2"],
                         q, mu, m32, nseg=c["nseg"], nsub=plan.nsub,
                     )
                 gi = c["seg_gidx"]

@@ -22,6 +22,7 @@ here except where the reference does.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -57,6 +58,12 @@ class CryptoParams:
     def slots(self) -> int:
         return self.ctx.params.slots
 
+    # device budget for cached level-sliced rotation-key stacks; rotation
+    # keys themselves stay HOST-resident (a full PN14 set is ~11 GB,
+    # VERDICT.md missing #2) and only the slices a workload touches move
+    # on-device
+    _KSTACK_BUDGET = int(os.environ.get("SFGWAS_KSTACK_BYTES", 4 * 1024**3))
+
     def stacked_keys(self, gelems, nmod: int):
         """Rotation keys for the given Galois elements, stacked and sliced to
         the active level: ([B, nmod, nmod+1, N], [B, ...]) device arrays for
@@ -64,11 +71,36 @@ class CryptoParams:
         (gelems, nmod) -- the BSGS baby/giant sets recur every matmult."""
         key = (tuple(gelems), nmod)
         if key not in self._kstack:
-            idx = jnp.asarray(tuple(range(nmod)) + (self.ctx.sp_row,))
-            d0 = jnp.stack([self.rot_keys[g].d0[:nmod][:, idx] for g in gelems])
-            d1 = jnp.stack([self.rot_keys[g].d1[:nmod][:, idx] for g in gelems])
+            idx = np.asarray(tuple(range(nmod)) + (self.ctx.sp_row,))
+            d0 = jnp.stack(
+                [jnp.asarray(np.asarray(self.rot_keys[g].d0)[:nmod][:, idx])
+                 for g in gelems]
+            )
+            d1 = jnp.stack(
+                [jnp.asarray(np.asarray(self.rot_keys[g].d1)[:nmod][:, idx])
+                 for g in gelems]
+            )
+            used = sum(a.nbytes + b.nbytes for a, b in self._kstack.values())
+            if used + d0.nbytes + d1.nbytes > self._KSTACK_BUDGET:
+                return d0, d1  # over budget: serve uncached
             self._kstack[key] = (d0, d1)
         return self._kstack[key]
+
+    def rotate(self, ct: C.Ciphertext, k: int) -> C.Ciphertext:
+        """Single left rotation through the cached level-sliced key path."""
+        k = k % self.slots
+        if k == 0:
+            return ct.copy()
+        g = self.ctx.galois_for_rotation(k)
+        d0, d1 = self.stacked_keys([g], ct.nmod)
+        r0, r1 = self.ctx.rotate_batch(ct.c0[None], ct.c1[None], [g], d0, d1, ct.nmod)
+        return C.Ciphertext(r0[0], r1[0], ct.nmod, ct.scale)
+
+    def conjugate(self, ct: C.Ciphertext) -> C.Ciphertext:
+        g = self.ctx.galois_conjugate()
+        d0, d1 = self.stacked_keys([g], ct.nmod)
+        r0, r1 = self.ctx.rotate_batch(ct.c0[None], ct.c1[None], [g], d0, d1, ct.nmod)
+        return C.Ciphertext(r0[0], r1[0], ct.nmod, ct.scale)
 
 
 def generate_rot_shifts(slots: int, small_dim: int = 20) -> List[int]:
@@ -129,10 +161,14 @@ def collective_init(
     if extra_shifts:
         shifts = sorted(set(shifts) | set(s % params.slots for s in extra_shifts))
     gelems = sorted({ctx.galois_for_rotation(s) for s in shifts} | {ctx.galois_conjugate()})
-    for i, g_el in enumerate(gelems):
-        if i % 10 == 0:
-            log(f"pid{pid} rotkey {i+1}/{len(gelems)}")
-        rot_keys[g_el] = collective_rotkey_gen(net, ctx, sk, g_el, crp_rng)
+    chunk = 8
+    for c0 in range(0, len(gelems), chunk):
+        log(f"pid{pid} rotkeys {c0}/{len(gelems)}")
+        rot_keys.update(
+            collective_rotkey_gen_many(
+                net, ctx, sk, gelems[c0 : c0 + chunk], crp_rng, chunk
+            )
+        )
     log(f"pid{pid} collective init done")
 
     return CryptoParams(ctx, sk, pk, rlk, rot_keys, enc_rng)
@@ -174,8 +210,12 @@ def collective_pubkey_gen(net: Network, ctx, sk, crp_rng) -> C.PublicKey:
     return C.PublicKey(p0, crp)
 
 
+def _gauss_b(ctx, rng, batch: int) -> np.ndarray:
+    return np.stack([ctx.sample_gauss(rng) for _ in range(batch)])
+
+
 def collective_relin_keygen(net: Network, ctx, sk, crp_rng) -> C.KSwitchKey:
-    """2-round RKG (mpc/mhe.go:478-502 structure).
+    """2-round RKG (mpc/mhe.go:478-502 structure), all digits batched.
 
     R1: h_j = sum_i (-u_i a_j + g_j s_i + e);  g_j = (P mod q_j) 1_{row j}
     R2: V_j = sum_i (s_i h_j + e)  and  W_j = sum_i (u_i a_j + e)
@@ -185,32 +225,15 @@ def collective_relin_keygen(net: Network, ctx, sk, crp_rng) -> C.KSwitchKey:
     t = _sel(ctx.basis, rows)
     pid = net.pid
     rng = np.random.default_rng()
-    psp = ctx.params.special
 
-    a_all = jnp.stack([ctx.sample_uniform(crp_rng, rows) for _ in range(ctx.nq)])
+    a_all = ctx.sample_uniform_b(crp_rng, rows, ctx.nq)  # [nq, nq+1, N]
     if pid == 0:
         u_ntt = None
         h_shares = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
     else:
         u_ntt = ctx.small_to_rns(ctx.sample_ternary(rng), rows)
-        hs = []
-        for j in range(ctx.nq):
-            e = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
-            h = add_mod(
-                neg_mod(mul_mod_barrett(a_all[j], u_ntt, t["q"], t["mu"]), t["q"]),
-                e,
-                t["q"],
-            )
-            pj = psp % ctx.params.q_primes[j]
-            term = C.mul_mod_shoup(
-                sk.s[j : j + 1],
-                jnp.full((1, 1), pj, jnp.uint32),
-                jnp.full((1, 1), (pj << 32) // ctx.params.q_primes[j], jnp.uint32),
-                t["q"][j : j + 1],
-            )
-            h = h.at[j].set(add_mod(h[j], term[0], t["q"][j]))
-            hs.append(h)
-        h_shares = jnp.stack(hs)
+        e = ctx.small_to_rns_b(_gauss_b(ctx, rng, ctx.nq), rows)
+        h_shares = ctx.kswitch_share(u_ntt, sk.s, a_all, e)
     # one aggregation message for all digits (the reference aggregates
     # per-poly; batching cuts round count by beta)
     h_agg = _aggregate_mod(net, ctx, h_shares, rows)
@@ -219,55 +242,52 @@ def collective_relin_keygen(net: Network, ctx, sk, crp_rng) -> C.KSwitchKey:
         v_sh = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
         w_sh = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
     else:
-        vs, ws = [], []
-        for j in range(ctx.nq):
-            e1 = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
-            e2 = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
-            vs.append(
-                add_mod(mul_mod_barrett(sk.s, h_agg[j], t["q"], t["mu"]), e1, t["q"])
-            )
-            ws.append(
-                add_mod(mul_mod_barrett(u_ntt, a_all[j], t["q"], t["mu"]), e2, t["q"])
-            )
-        v_sh, w_sh = jnp.stack(vs), jnp.stack(ws)
+        q, mu = t["q"][None], t["mu"][None]
+        e1 = ctx.small_to_rns_b(_gauss_b(ctx, rng, ctx.nq), rows)
+        e2 = ctx.small_to_rns_b(_gauss_b(ctx, rng, ctx.nq), rows)
+        v_sh = add_mod(mul_mod_barrett(sk.s[None], h_agg, q, mu), e1, q)
+        w_sh = add_mod(mul_mod_barrett(u_ntt[None], a_all, q, mu), e2, q)
     d0 = _aggregate_mod(net, ctx, v_sh, rows)
     d1 = _aggregate_mod(net, ctx, w_sh, rows)
     return C.KSwitchKey(d0, d1)
 
 
-def collective_rotkey_gen(net: Network, ctx, sk, g_el: int, crp_rng) -> C.KSwitchKey:
-    """RTG for one Galois element (mpc/mhe.go:381-476): each party's share is
-    a switching key from sigma_g(s_i) to s_i summed across parties."""
+def collective_rotkey_gen_many(
+    net: Network, ctx, sk, gelems, crp_rng, chunk: int = 8
+) -> Dict[int, C.KSwitchKey]:
+    """RTG for many Galois elements (mpc/mhe.go:381-476): each party's share
+    is a switching key from sigma_g(s_i) to s_i summed across parties.  All
+    digits of a key are generated in one batched pass, and `chunk` keys share
+    one aggregation round (the reference parallelizes over goroutines;
+    batching serves the same end with ~beta*chunk fewer messages)."""
     rows = ctx.full_rows
-    t = _sel(ctx.basis, rows)
     pid = net.pid
     rng = np.random.default_rng()
-    psp = ctx.params.special
-    a_all = jnp.stack([ctx.sample_uniform(crp_rng, rows) for _ in range(ctx.nq)])
-    if pid == 0:
-        shares = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
-    else:
-        s_g = ctx.automorphism(sk.s, g_el)
-        sh = []
-        for j in range(ctx.nq):
-            e = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
-            share = add_mod(
-                neg_mod(mul_mod_barrett(a_all[j], sk.s, t["q"], t["mu"]), t["q"]),
-                e,
-                t["q"],
+    out: Dict[int, C.KSwitchKey] = {}
+    for c0 in range(0, len(gelems), chunk):
+        gs = gelems[c0 : c0 + chunk]
+        a_list = [ctx.sample_uniform_b(crp_rng, rows, ctx.nq) for _ in gs]
+        if pid == 0:
+            shares = jnp.zeros(
+                (len(gs), ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32
             )
-            pj = psp % ctx.params.q_primes[j]
-            term = C.mul_mod_shoup(
-                s_g[j : j + 1],
-                jnp.full((1, 1), pj, jnp.uint32),
-                jnp.full((1, 1), (pj << 32) // ctx.params.q_primes[j], jnp.uint32),
-                t["q"][j : j + 1],
-            )
-            share = share.at[j].set(add_mod(share[j], term[0], t["q"][j]))
-            sh.append(share)
-        shares = jnp.stack(sh)
-    d0 = _aggregate_mod(net, ctx, shares, rows)
-    return C.KSwitchKey(d0, a_all)
+        else:
+            shs = []
+            for g_el, a in zip(gs, a_list):
+                s_g = ctx.automorphism(sk.s, g_el)
+                e = ctx.small_to_rns_b(_gauss_b(ctx, rng, ctx.nq), rows)
+                shs.append(ctx.kswitch_share(sk.s, s_g, a, e))
+            shares = jnp.stack(shs)
+        d0 = _aggregate_mod(net, ctx, shares, rows)
+        for i, g_el in enumerate(gs):
+            # host-resident: the full key set exceeds HBM at production
+            # presets; stacked_keys() moves level-sliced views on-device
+            out[g_el] = C.KSwitchKey(np.asarray(d0[i]), np.asarray(a_list[i]))
+    return out
+
+
+def collective_rotkey_gen(net: Network, ctx, sk, g_el: int, crp_rng) -> C.KSwitchKey:
+    return collective_rotkey_gen_many(net, ctx, sk, [g_el], crp_rng)[g_el]
 
 
 # ---------------------------------------------------------------------------

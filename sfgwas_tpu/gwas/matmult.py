@@ -534,10 +534,8 @@ def mat_mult_cheat(cps: CryptoParams, mpc, A: B.CipherMatrix, mat: np.ndarray):
         return None
     rows = []
     for cv in A:
-        vals = []
-        for ct in cv:
-            pt = mhe.collective_decrypt(mpc.net, cps, ct, -1)
-            vals.append(np.asarray(cps.ctx.decode(pt)))
+        pts = mhe.collective_decrypt_many(mpc.net, cps, cv, -1)
+        vals = [np.asarray(cps.ctx.decode(pt)) for pt in pts]
         rows.append(np.concatenate(vals)[: mat.shape[0]])
     prod = np.stack(rows) @ mat.astype(np.float64)  # [s, m]
     out = []
@@ -620,7 +618,7 @@ def dc_matmul_aat_b(
             prod = inner_fn(cps, A[c], Bmat, j)
             ctq_loc.append(B.inner_sum_all(cps, prod))
         ctq = mhe.aggregate_cvec(mpc.net, cps, ctq_loc)
-        ctq = [mhe.collective_bootstrap(mpc.net, cps, ct, -1) for ct in ctq]
+        ctq = mhe.bootstrap_vec(mpc.net, cps, ctq, -1)
         for j in range(ncol_out):
             cc = B.cmult_scalar(cps, A[c], ctq[j])
             out[j] = cc if out[j] is None else B.cadd(

@@ -224,7 +224,7 @@ def distributed_pca(
                     )
         z = mhe.aggregate_cvec(mpc.net, cps, zloc)
         z = B.cmult_const(cps, z, inv_n, rescale=True)
-        z = [mhe.collective_bootstrap(mpc.net, cps, ct, -1) for ct in z]
+        z = mhe.bootstrap_vec(mpc.net, cps, z, -1)
     else:
         z = None
 

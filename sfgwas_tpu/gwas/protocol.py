@@ -412,10 +412,8 @@ class ProtocolInfo:
         )
 
         if pid > 0:
-            vals = []
-            for ct in stats:
-                pt = mhe.collective_decrypt(self.net, self.cps, ct, -1)
-                vals.append(self.cps.ctx.decode(pt))
+            pts = mhe.collective_decrypt_many(self.net, self.cps, stats, -1)
+            vals = [self.cps.ctx.decode(pt) for pt in pts]
             out = np.concatenate(vals)[: len(filt)][filt]
             np.savetxt(self.out_path("assoc.txt"), out, fmt="%.6e")
             self.net.print_log()
@@ -462,10 +460,8 @@ class ProtocolInfo:
             cfg.inverse_mat_scale, cache_prefix=self.cache_path("assoc"),
         )
         if pid > 0:
-            vals = []
-            for ct in stats:
-                pt = mhe.collective_decrypt(self.net, self.cps, ct, -1)
-                vals.append(self.cps.ctx.decode(pt))
+            pts = mhe.collective_decrypt_many(self.net, self.cps, stats, -1)
+            vals = [self.cps.ctx.decode(pt) for pt in pts]
             out = np.concatenate(vals)[: len(filt)][filt]
             np.savetxt(self.out_path("assoc.txt"), out, fmt="%.6e")
             self.net.print_log()

@@ -40,10 +40,8 @@ def save_matrix_collective(
         nr, nc = len(cm), len(cm[0])
     rows = []
     for cv in cm:
-        vals = []
-        for ct in cv:
-            pt = mhe.collective_decrypt(net, cps, ct, source_pid)
-            vals.append(cps.ctx.decode(pt))
+        pts = mhe.collective_decrypt_many(net, cps, cv, source_pid)
+        vals = [cps.ctx.decode(pt) for pt in pts]
         rows.append(np.concatenate(vals)[:n_cols])
     M = np.stack(rows)
     if source_pid < 0 or net.pid == source_pid:

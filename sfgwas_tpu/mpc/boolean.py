@@ -252,11 +252,9 @@ def normalizer_even_exp_2n(mpc, a, k):
     c4d = jnp.asarray(ring.from_ints(c4))  # [num_half, L]
     c2d = jnp.asarray(ring.from_ints(c2))
 
-    def weighted(coeffs):
-        acc = ring.zeros((n,))
-        for j in range(num_half):
-            acc = ring.add(acc, ring.mul(hb_field[:, j, :], coeffs[j]))
-        return acc
+    def weighted(coeffs):  # [num_half, L] -> one batched mul + digit sum
+        prods = ring.mul(hb_field, coeffs[None])  # [n, num_half, L]
+        return ring.sum(prods, axis=1)
 
     normalizer = weighted(c4d)
     normalizer_sqrt = weighted(c2d)

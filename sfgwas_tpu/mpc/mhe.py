@@ -298,21 +298,50 @@ def collective_decrypt(net: Network, cps: CryptoParams, ct: C.Ciphertext, source
     """Returns the plaintext (all data parties; None at party 0)
     (mpc/mhe.go:107-220).  source_pid > 0 broadcasts first; <= 0 means the
     ciphertext is already known to every data party."""
+    out = collective_decrypt_many(net, cps, [ct], source_pid)
+    return out[0] if out else None
+
+
+def _nmod_groups(cts):
+    """Deterministic grouping of ct indices by level; identical at every
+    data party because the ct lists are lockstep-shared."""
+    groups: Dict[int, List[int]] = {}
+    for i, ct in enumerate(cts):
+        groups.setdefault(ct.nmod, []).append(i)
+    return sorted(groups.items())
+
+
+def collective_decrypt_many(net: Network, cps: CryptoParams, cts, source_pid: int):
+    """Batched collective decrypt: ONE aggregation round per level group
+    instead of one per ciphertext (the reference fires a goroutine per ct,
+    mpc/mhe.go:107-220; batching the [B, nmod, N] stack through a single
+    masked-key-switch kernel is the TPU shape of the same parallelism)."""
     if net.pid == 0:
         return None
     ctx = cps.ctx
     if source_pid > 0:
-        ct = broadcast_ciphertext(net, cps, ct, source_pid)
-    rows = tuple(range(ct.nmod))
-    t = _sel(ctx.basis, rows)
-    rng = cps.enc_rng
-    e = ctx.small_to_rns(ctx.sample_gauss(rng, sigma=6.36), rows)
-    share = add_mod(
-        mul_mod_barrett(ct.c1, cps.sk.s[: ct.nmod], t["q"], t["mu"]), e, t["q"]
-    )
-    agg = _aggregate_mod(net, ctx, share, rows)
-    m = add_mod(ct.c0, agg, t["q"])
-    return C.Plaintext(m, ct.nmod, ct.scale)
+        cts = broadcast_cvec(net, cps, cts, source_pid)
+    out = [None] * len(cts)
+    for nmod, idxs in _nmod_groups(cts):
+        rows = tuple(range(nmod))
+        t = _sel(ctx.basis, rows)
+        B = len(idxs)
+        c0s = jnp.stack([cts[i].c0 for i in idxs])
+        c1s = jnp.stack([cts[i].c1 for i in idxs])
+        e = ctx.small_to_rns_b(
+            np.stack([ctx.sample_gauss(cps.enc_rng, sigma=6.36) for _ in range(B)]),
+            rows,
+        )
+        share = add_mod(
+            mul_mod_barrett(c1s, cps.sk.s[None, :nmod], t["q"][None], t["mu"][None]),
+            e,
+            t["q"],
+        )
+        agg = _aggregate_mod(net, ctx, share, rows)
+        m = add_mod(c0s, agg, t["q"])
+        for b, i in enumerate(idxs):
+            out[i] = C.Plaintext(m[b], nmod, cts[i].scale)
+    return out
 
 
 def collective_bootstrap(net: Network, cps: CryptoParams, ct: C.Ciphertext, source_pid: int):
@@ -320,89 +349,140 @@ def collective_bootstrap(net: Network, cps: CryptoParams, ct: C.Ciphertext, sour
     exact recode -> masked re-encryption.  Returns the refreshed ciphertext
     (party 0: returns input)."""
     if net.pid == 0:
-        # party 0 participates in no communication here (reference returns)
         return ct
+    return collective_bootstrap_many(net, cps, [ct], source_pid)[0]
+
+
+def collective_bootstrap_many(net: Network, cps: CryptoParams, cts, source_pid: int):
+    """Batched collective bootstrap: for each level group, ONE combined
+    {h1, h2} aggregation round covers every ciphertext (vs 2 rounds PER ct in
+    the per-goroutine reference structure, mpc/mhe.go:222-261), and the
+    masked-decrypt / recode / re-encrypt chain runs as [B, nmod, N] kernels."""
+    if net.pid == 0:
+        return cts
     ctx = cps.ctx
     params = ctx.params
     if source_pid > 0:
-        ct = broadcast_ciphertext(net, cps, ct, source_pid)
-    nmod = ct.nmod
-    rows = tuple(range(nmod))
-    full = tuple(range(ctx.nq))
-    t_l = _sel(ctx.basis, rows)
-    t_f = _sel(ctx.basis, full)
+        cts = broadcast_cvec(net, cps, cts, source_pid)
     rng = cps.enc_rng
-
-    # mask bound: 2^(bits(Q_l) - 2 - log2(nparty))
-    ql_bits = params.q_prod(nmod).bit_length()
+    full = tuple(range(ctx.nq))
+    t_f = _sel(ctx.basis, full)
+    out = [None] * len(cts)
     import math
 
-    bound_bits = ql_bits - 3 - int(math.ceil(math.log2(max(2, net.nparty - 1))))
-    mask_w = rns.words_sample_centered(rng, bound_bits, ctx.n)
-    mask_l = np.stack(
-        [rns.words_mod_prime(mask_w, params.q_primes[i]) for i in range(nmod)]
-    )
-    mask_f = np.stack(
-        [rns.words_mod_prime(mask_w, params.q_primes[i]) for i in range(ctx.nq)]
-    )
-    mask_l = ntt(jnp.asarray(mask_l), ctx.basis, rows)
-    mask_f = ntt(jnp.asarray(mask_f), ctx.basis, full)
+    for nmod, idxs in _nmod_groups(cts):
+        rows = tuple(range(nmod))
+        t_l = _sel(ctx.basis, rows)
+        B = len(idxs)
+        c0s = jnp.stack([cts[i].c0 for i in idxs])
+        c1s = jnp.stack([cts[i].c1 for i in idxs])
 
-    # common reference polynomial for the re-encryption (full level)
-    with net.rand.using(-1) as g:
-        seed = int.from_bytes(g.bytes(8), "little")
-    crp = ctx.sample_uniform(np.random.default_rng(np.random.Philox(key=seed)), full)
+        # mask bound: 2^(bits(Q_l) - 2 - log2(nparty)); one flat sample
+        # covers all B polys
+        ql_bits = params.q_prod(nmod).bit_length()
+        bound_bits = ql_bits - 3 - int(math.ceil(math.log2(max(2, net.nparty - 1))))
+        mask_w = rns.words_sample_centered(rng, bound_bits, B * ctx.n)
+        mask_l = np.stack(
+            [rns.words_mod_prime(mask_w, params.q_primes[i]) for i in range(nmod)]
+        ).reshape(nmod, B, ctx.n)
+        mask_f = np.stack(
+            [rns.words_mod_prime(mask_w, params.q_primes[i]) for i in range(ctx.nq)]
+        ).reshape(ctx.nq, B, ctx.n)
+        mask_l = jnp.swapaxes(rns.ntt_b(jnp.asarray(mask_l), ctx.basis, rows), 0, 1)
+        mask_f = jnp.swapaxes(rns.ntt_b(jnp.asarray(mask_f), ctx.basis, full), 0, 1)
 
-    e1 = ctx.small_to_rns(ctx.sample_gauss(rng), rows)
-    e2 = ctx.small_to_rns(ctx.sample_gauss(rng), full)
+        # common reference polynomials for the re-encryption (full level)
+        with net.rand.using(-1) as g:
+            seed = int.from_bytes(g.bytes(8), "little")
+        crp = ctx.sample_uniform_b(
+            np.random.default_rng(np.random.Philox(key=seed)), full, B
+        )
 
-    h1 = add_mod(
-        add_mod(
-            mul_mod_barrett(ct.c1, cps.sk.s[:nmod], t_l["q"], t_l["mu"]), e1, t_l["q"]
-        ),
-        mask_l,
-        t_l["q"],
-    )
-    h2 = sub_mod(
-        add_mod(
-            neg_mod(mul_mod_barrett(crp, cps.sk.s[: ctx.nq], t_f["q"], t_f["mu"]), t_f["q"]),
-            e2,
+        e1 = ctx.small_to_rns_b(
+            np.stack([ctx.sample_gauss(rng) for _ in range(B)]), rows
+        )
+        e2 = ctx.small_to_rns_b(
+            np.stack([ctx.sample_gauss(rng) for _ in range(B)]), full
+        )
+
+        h1 = add_mod(
+            add_mod(
+                mul_mod_barrett(
+                    c1s, cps.sk.s[None, :nmod], t_l["q"][None], t_l["mu"][None]
+                ),
+                e1,
+                t_l["q"],
+            ),
+            mask_l,
+            t_l["q"],
+        )
+        h2 = sub_mod(
+            add_mod(
+                neg_mod(
+                    mul_mod_barrett(
+                        crp, cps.sk.s[None, : ctx.nq], t_f["q"][None], t_f["mu"][None]
+                    ),
+                    t_f["q"],
+                ),
+                e2,
+                t_f["q"],
+            ),
+            mask_f,
             t_f["q"],
-        ),
-        mask_f,
-        t_f["q"],
-    )
-    h1 = _aggregate_mod(net, ctx, h1, rows)
-    h2 = _aggregate_mod(net, ctx, h2, full)
+        )
+        # h1 + h2 share one aggregation round
+        def add_fn(a, b):
+            return {
+                "h1": add_mod(jnp.asarray(a["h1"]), jnp.asarray(b["h1"]), t_l["q"]),
+                "h2": add_mod(jnp.asarray(a["h2"]), jnp.asarray(b["h2"]), t_f["q"]),
+            }
 
-    # masked decryption, exact integer recode to the full modulus
-    mu = add_mod(ct.c0, h1, t_l["q"])
-    mu_coeff = ntt(mu, ctx.basis, rows, inverse=True)
-    lifted = rns.crt_lift_centered(
-        np.asarray(mu_coeff), params.q_primes[:nmod], params.q_primes[: ctx.nq]
-    )
-    mu_full = ntt(jnp.asarray(lifted), ctx.basis, full)
+        agg = net.aggregate({"h1": np.asarray(h1), "h2": np.asarray(h2)}, add_fn)
+        h1, h2 = jnp.asarray(agg["h1"]), jnp.asarray(agg["h2"])
 
-    c0 = add_mod(mu_full, h2, t_f["q"])
-    return C.Ciphertext(c0, crp, ctx.nq, ct.scale)
+        # masked decryption, exact integer recode to the full modulus
+        mu = add_mod(c0s, h1, t_l["q"])
+        mu_coeff = rns.ntt_b(
+            jnp.swapaxes(mu, 0, 1), ctx.basis, rows, True
+        )  # [nmod, B, N]
+        lifted = rns.crt_lift_centered(
+            np.asarray(mu_coeff).reshape(nmod, B * ctx.n),
+            params.q_primes[:nmod],
+            params.q_primes[: ctx.nq],
+        ).reshape(ctx.nq, B, ctx.n)
+        mu_full = jnp.swapaxes(
+            rns.ntt_b(jnp.asarray(lifted), ctx.basis, full), 0, 1
+        )
+
+        c0 = add_mod(mu_full, h2, t_f["q"])
+        for b, i in enumerate(idxs):
+            out[i] = C.Ciphertext(c0[b], crp[b], ctx.nq, cts[i].scale)
+    return out
 
 
 def bootstrap_vec(net, cps, cv, source_pid):
-    return [collective_bootstrap(net, cps, ct, source_pid) for ct in cv]
+    if net.pid == 0:
+        return cv
+    return collective_bootstrap_many(net, cps, cv, source_pid)
 
 
 def bootstrap_mat(net, cps, cm, source_pid):
-    return [[collective_bootstrap(net, cps, ct, source_pid) for ct in row] for row in cm]
+    if net.pid == 0:
+        return cm
+    flat = [ct for row in cm for ct in row]
+    ref = collective_bootstrap_many(net, cps, flat, source_pid)
+    out, ofs = [], 0
+    for row in cm:
+        out.append(ref[ofs : ofs + len(row)])
+        ofs += len(row)
+    return out
 
 
 def bootstrap_mat_all(net, cps, cm):
     """Each data party's matrix refreshed in turn (mpc/mhe.go:351-365).
-    With already-shared matrices (source <= 0 semantics) a single pass
-    suffices; this mirrors BootstrapMatAll call sites where every party holds
-    its own local matrix -- since our bootstrap with source_pid <= 0 assumes
-    the ciphertext is shared, parties take turns broadcasting.  The source
-    announces its (rows, cols-per-row) first so unbalanced row partitions
-    (different ct counts per party) stay in lockstep."""
+    The source announces its per-row ct counts first so unbalanced row
+    partitions stay in lockstep; each source's whole matrix refreshes in one
+    batched pass."""
     out = cm
     for source in range(1, net.nparty):
         if net.pid == source:
@@ -410,15 +490,12 @@ def bootstrap_mat_all(net, cps, cm):
             for p in range(1, net.nparty):
                 if p != source:
                     net.send(shape, p)
-            out = [
-                [collective_bootstrap(net, cps, ct, source) for ct in row]
-                for row in out
-            ]
+            out = bootstrap_mat(net, cps, out, source)
         elif net.pid > 0:
             shape = net.recv(source)
-            for ncts in shape:
-                for _ in range(ncts):
-                    collective_bootstrap(net, cps, None, source)
+            total = sum(shape)
+            if total:
+                collective_bootstrap_many(net, cps, [None] * total, source)
     return out
 
 
@@ -460,28 +537,61 @@ def broadcast_ciphertext(net: Network, cps, ct, source_pid: int) -> C.Ciphertext
     return ct
 
 
+def broadcast_cvec(net: Network, cps, cts, source_pid: int):
+    """Broadcast a whole ciphertext list in ONE message (the receivers may
+    pass cts=None / a placeholder list; the wire carries the real ones)."""
+    if net.pid == source_pid:
+        wire = [ct_to_wire(ct) for ct in cts]
+        for p in range(1, net.nparty):
+            if p != source_pid:
+                net.send(wire, p)
+        return cts
+    if net.pid > 0:
+        return [ct_from_wire(d) for d in net.recv(source_pid)]
+    return cts
+
+
 def aggregate_ct(net: Network, cps: CryptoParams, ct: C.Ciphertext) -> C.Ciphertext:
     """Sum ciphertexts across data parties (AggregateCText,
     mpc/aggregate.go)."""
     if net.pid == 0:
         return ct
-    ctx = cps.ctx
-
-    def add_fn(a, b):
-        nmod = min(int(a["nmod"]), int(b["nmod"]))
-        ca, cb = ct_from_wire(a), ct_from_wire(b)
-        return ct_to_wire(ctx.add(ca, cb))
-
-    out = net.aggregate(ct_to_wire(ct), add_fn)
-    return ct_from_wire(out)
+    return aggregate_cvec(net, cps, [ct])[0]
 
 
 def aggregate_cvec(net, cps, cv):
-    return [aggregate_ct(net, cps, ct) for ct in cv]
+    """Sum ciphertext vectors across data parties: per level group, ONE
+    aggregation message carries the whole [B, 2, nmod, N] stack.  Per-position
+    levels may differ across parties (a party may hold a deeper ct); the
+    add_fn aligns each pair to the min level, exactly like the reference's
+    per-ct aggregate."""
+    if net.pid == 0:
+        return cv
+    ctx = cps.ctx
+
+    def add_fn(a, b):
+        out = []
+        for da, db in zip(a, b):
+            ca, cb = ct_from_wire(da), ct_from_wire(db)
+            out.append(ct_to_wire(ctx.add(ca, cb)))
+        return out
+
+    out = net.aggregate([ct_to_wire(ct) for ct in cv], add_fn)
+    return [ct_from_wire(d) for d in out]
 
 
 def aggregate_cmat(net, cps, cm):
-    return [[aggregate_ct(net, cps, ct) for ct in row] for row in cm]
+    if net.pid == 0:
+        return cm
+    flat = [ct for row in cm for ct in row]
+    if not flat:
+        return cm
+    agg = aggregate_cvec(net, cps, flat)
+    out, ofs = [], 0
+    for row in cm:
+        out.append(agg[ofs : ofs + len(row)])
+        ofs += len(row)
+    return out
 
 
 def aggregate_int_vec(net: Network, vec: np.ndarray) -> np.ndarray:

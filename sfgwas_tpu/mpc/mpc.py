@@ -832,18 +832,21 @@ class MPC:
         g = self.ss_mult_elem(g, a)
         g = self.trunc(g, kb, fb)
 
+        # Newton iterations with g/h STACKED: one multiply round and one
+        # trunc round update both (the reference partitions once per step,
+        # mpc/mpc.go:1991-2080; stacking serves the same round count with
+        # half the per-step protocol messages of the naive loop)
         onept5 = ring.const(int(round(1.5 * (1 << fb))))
+        gh = jnp.concatenate([g, h])
         for _ in range(num_iter):
-            r = self.ss_mult_elem(h, g)
+            r = self.ss_mult_elem(gh[n:], gh[:n])
             r = self.trunc(r, kb, fb)
             r = ring.neg(r)
             if pid == 1:
                 r = ring.add(r, jnp.broadcast_to(onept5, r.shape))
-            g = self.ss_mult_elem(g, r)
-            h = self.ss_mult_elem(h, r)
-            g = self.trunc(g, kb, fb)
-            h = self.trunc(h, kb, fb)
-        return g, ring.mul_int(h, 2)
+            gh = self.ss_mult_elem(gh, jnp.concatenate([r, r]))
+            gh = self.trunc(gh, kb, fb)
+        return gh[:n], ring.mul_int(gh[n:], 2)
 
     def divide(self, a, b, binary=None):
         """Fixed-point division a/b (mpc/mpc.go:2082-2187)."""
@@ -893,17 +896,17 @@ class MPC:
         y = self.trunc(y, kb, fb)
 
         for _ in range(num_iter):
-            xr, xm = self.beaver_partition(x)
-            yr, ym = self.beaver_partition(y)
+            # one partition round, one reconstruct round, one trunc round
+            # per Goldschmidt step (y/x stacked)
+            (xr, yr), (xm, ym) = self.beaver_partition_many([x, y])
             xpr = xr
             if pid > 0:
                 xpr = ring.add(xr, jnp.broadcast_to(one, xr.shape))
             y = self.beaver_mult_elem(yr, ym, xpr, xm)
             x = self.beaver_mult_elem(xr, xm, xr, xm)
-            y = self.beaver_reconstruct(y)
-            x = self.beaver_reconstruct(x)
-            y = self.trunc(y, kb, fb)
-            x = self.trunc(x, kb, fb)
+            yx = self.beaver_reconstruct(jnp.concatenate([y, x]))
+            yx = self.trunc(yx, kb, fb)
+            y, x = yx[:n], yx[n:]
 
         if pid == 1:
             x = ring.add(x, jnp.broadcast_to(one, x.shape))

@@ -36,7 +36,12 @@ def main(argv=None):
     if args.local_sim:
         from .parallel.transport import LocalCluster
         from .gwas.protocol import ProtocolInfo
+        import sys as _sys
         import threading
+
+        # see parallel/simulate.py: round latency is GIL-wakeup bound
+        if _sys.getswitchinterval() > 0.0002:
+            _sys.setswitchinterval(0.0002)
 
         nparty = args.local_sim
         cluster = LocalCluster(nparty)

@@ -471,9 +471,15 @@ class ProtocolInfo:
     def gwas(self):
         t0 = time.time()
         self.phase1()
+        t1 = time.time()
         qpc = self.phase2()
+        t2 = time.time()
         out = self.phase3(qpc)
-        print(f"[pid {self.pid}] GWAS protocol finished in {time.time()-t0:.1f}s")
+        t3 = time.time()
+        print(
+            f"[pid {self.pid}] GWAS protocol finished in {t3-t0:.1f}s "
+            f"(qc {t1-t0:.1f}s, pca {t2-t1:.1f}s, assoc {t3-t2:.1f}s)"
+        )
         return out
 
     def sync_and_terminate(self, close=True):

@@ -50,16 +50,17 @@ def _to_pow2(mpc, a, plus_one_shift: bool):
 
 def _shift_up(x, span, fill):
     """Shift along the bit axis towards higher indices by `span`:
-    out[:, i] = x[:, i - span], filled with `fill` below."""
+    out[:, i] = x[:, i - span], filled with `fill` below (host numpy --
+    the whole GF(2) layer runs on the host, see ops/ring.py GF2Ring)."""
     n, m = x.shape
-    pad = jnp.full((n, span), fill, x.dtype)
-    return jnp.concatenate([pad, x[:, : m - span]], axis=1)
+    pad = np.full((n, span), fill, x.dtype)
+    return np.concatenate([pad, x[:, : m - span]], axis=1)
 
 
 def _shift_down(x, span, fill):
     n, m = x.shape
-    pad = jnp.full((n, span), fill, x.dtype)
-    return jnp.concatenate([x[:, span:], pad], axis=1)
+    pad = np.full((n, span), fill, x.dtype)
+    return np.concatenate([x[:, span:], pad], axis=1)
 
 
 def _beaver_and(mpc, a, b):
@@ -82,15 +83,14 @@ def carries_of_add_public(mpc, a_pub, b, num_bits):
     g = g[:, :m]
     p = p[:, :m]
     span = 1
-    ones = jnp.ones_like(p)
     while span < m:
         g_lo = _shift_up(g, span, 0)
         p_lo = _shift_up(p, span, 1 if mpc.pid == mpc.hub_pid else 0)
         # batch the two ANDs in one beaver round
         pr, pm = mpc.beaver_partition(p, GF2)
-        lr, lm = mpc.beaver_partition(jnp.concatenate([g_lo, p_lo], 1), GF2)
+        lr, lm = mpc.beaver_partition(np.concatenate([g_lo, p_lo], 1), GF2)
         prod = mpc.beaver_mult_elem(
-            jnp.concatenate([pr, pr], 1), jnp.concatenate([pm, pm], 1), lr, lm, GF2
+            np.concatenate([pr, pr], 1), np.concatenate([pm, pm], 1), lr, lm, GF2
         )
         prod = mpc.beaver_reconstruct(prod, GF2)
         g = GF2.add(g, prod[:, :m])
@@ -130,9 +130,9 @@ def carry_out_public(mpc, a_pub, b, num_bits):
         g_lo = _shift_up(g, span, 0)
         p_lo = _shift_up(p, span, 1 if mpc.pid == mpc.hub_pid else 0)
         pr, pm = mpc.beaver_partition(p, GF2)
-        lr, lm = mpc.beaver_partition(jnp.concatenate([g_lo, p_lo], 1), GF2)
+        lr, lm = mpc.beaver_partition(np.concatenate([g_lo, p_lo], 1), GF2)
         prod = mpc.beaver_mult_elem(
-            jnp.concatenate([pr, pr], 1), jnp.concatenate([pm, pm], 1), lr, lm, GF2
+            np.concatenate([pr, pr], 1), np.concatenate([pm, pm], 1), lr, lm, GF2
         )
         prod = mpc.beaver_reconstruct(prod, GF2)
         g = GF2.add(g, prod[:, :m])
@@ -146,7 +146,7 @@ def suffix_all_zero(mpc, x_bits, num_bits):
     (the BinaryPrefixOr of mpc/mpc.go:1161-1316 after input inversion)."""
     z = x_bits[:, :num_bits]
     if mpc.pid == mpc.hub_pid:
-        z = GF2.add(z, jnp.ones_like(z))  # NOT
+        z = GF2.add(z, np.ones_like(z))  # NOT
     span = 1
     while span < num_bits:
         z_hi = _shift_down(z, span, 1 if mpc.pid == mpc.hub_pid else 0)
@@ -163,7 +163,7 @@ def bit2a(mpc, bits_gf2):
     r_field, r_bits = mpc.share_random_bits(ring, GF2, n, 1, 1, True)
     masked = GF2.add(bits_gf2, r_bits[:, 0])
     v = mpc.reveal_sym(masked, GF2)
-    v = jnp.asarray(v, jnp.int32)  # public bits (garbage at pid 0)
+    v = jnp.asarray(np.asarray(v), jnp.int32)  # public bits (garbage at pid 0)
     sign = 1 - 2 * v  # +-1
     out = ring.reduce(jnp.asarray(r_field) * sign[:, None])
     if mpc.pid == mpc.hub_pid:
@@ -189,14 +189,14 @@ def is_positive_2n(mpc, a):
     # t = complement of r:  x = a - r = (a+1) + t mod 2^num_bits
     t_bits = r_bits
     if mpc.pid == mpc.hub_pid:
-        t_bits = GF2.add(t_bits, jnp.ones_like(t_bits))
+        t_bits = GF2.add(t_bits, np.ones_like(t_bits))
     a_plus1 = ring2.add(a_rev, jnp.broadcast_to(ring2.const(1), a_rev.shape))
     if mpc.pid == 0:
         a_bits = GF2.zeros((n, num_bits))
     else:
         from .mpc import _bits_lsb
 
-        a_bits = jnp.asarray(_bits_lsb(ring2, np.asarray(a_plus1), num_bits, GF2))
+        a_bits = _bits_lsb(ring2, np.asarray(a_plus1), num_bits, GF2)
 
     carry_msb = carry_out_public(
         mpc, a_bits[:, : num_bits - 1], t_bits[:, : num_bits - 1], num_bits - 1
@@ -204,7 +204,7 @@ def is_positive_2n(mpc, a):
     msb = GF2.add(carry_msb, t_bits[:, num_bits - 1])
     if mpc.pid == mpc.hub_pid:
         msb = GF2.add(msb, a_bits[:, num_bits - 1])
-        msb = GF2.add(msb, jnp.ones_like(msb))  # flip: positive -> 1
+        msb = GF2.add(msb, np.ones_like(msb))  # flip: positive -> 1
     return bit2a(mpc, msb)
 
 
@@ -224,21 +224,21 @@ def normalizer_even_exp_2n(mpc, a, k):
 
     t_bits = r_bits
     if mpc.pid == mpc.hub_pid:
-        t_bits = GF2.add(t_bits, jnp.ones_like(t_bits))
+        t_bits = GF2.add(t_bits, np.ones_like(t_bits))
     a_plus1 = ring2.add(a_rev, jnp.broadcast_to(ring2.const(1), a_rev.shape))
     if mpc.pid == 0:
         a_bits = GF2.zeros((n, num_bits))
     else:
         from .mpc import _bits_lsb
 
-        a_bits = jnp.asarray(_bits_lsb(ring2, np.asarray(a_plus1), num_bits, GF2))
+        a_bits = _bits_lsb(ring2, np.asarray(a_plus1), num_bits, GF2)
 
     x_bits = binary_add_public(mpc, a_bits, t_bits, num_bits)
     pref = suffix_all_zero(mpc, x_bits, num_bits)
 
     # half-bit positions k-2, k-4, ..., 0 (descending)
     positions = list(range(k - 2, -1, -2))
-    half = pref[:, jnp.asarray(positions)]  # [n, num_half] GF(2) shares
+    half = np.asarray(pref)[:, positions]  # [n, num_half] GF(2) shares
     num_half = len(positions)
 
     hb_field = bit2a(mpc, half.reshape(n * num_half)).reshape(

@@ -133,7 +133,9 @@ class MPC:
                 am = ring.add(am, mask)
             return ring.zeros(shape), am
         with self.rand.using(0) as _:
-            mask = jnp.asarray(ring.rand(self.rand.cur(), shape))
+            mask = ring.rand(self.rand.cur(), shape)
+            if not getattr(ring, "host", False):
+                mask = jnp.asarray(mask)
         ar = ring.sub(a, mask)
         ar = self.reveal_sym(ar, ring)
         return ar, mask
@@ -155,10 +157,14 @@ class MPC:
                     am = ring.add(am, mask)
                 ams.append(am)
             return [ring.zeros(s) for s in shapes], ams
+        host = getattr(ring, "host", False)
+        xp = np if host else jnp
         masks, ars = [], []
         for x, shape in zip(xs, shapes):
             with self.rand.using(0) as _:
-                mask = jnp.asarray(ring.rand(self.rand.cur(), shape))
+                mask = ring.rand(self.rand.cur(), shape)
+                if not host:
+                    mask = jnp.asarray(mask)
             masks.append(mask)
             ars.append(ring.sub(x, mask))
         # reveal is elementwise: flatten (keeping the limb axis for digit
@@ -167,14 +173,14 @@ class MPC:
         L = getattr(ring, "nlimb", None)
         full_shapes = [tuple(a.shape) for a in ars]
         if L is not None:
-            flat = jnp.concatenate([jnp.reshape(a, (-1, L)) for a in ars])
+            flat = xp.concatenate([xp.reshape(a, (-1, L)) for a in ars])
         else:
-            flat = jnp.concatenate([jnp.reshape(a, (-1,)) for a in ars])
+            flat = xp.concatenate([xp.reshape(a, (-1,)) for a in ars])
         flat = self.reveal_sym(flat, ring)
         out, ofs = [], 0
         for fs in full_shapes:
             cnt = int(np.prod(fs[:-1] if L is not None else fs)) if fs else 1
-            out.append(jnp.reshape(flat[ofs : ofs + cnt], fs))
+            out.append(xp.reshape(flat[ofs : ofs + cnt], fs))
             ofs += cnt
         return out, masks
 
@@ -621,7 +627,7 @@ class MPC:
             else:
                 r = ring.rand(self.rand.cur(), (n,))
             r_bits = _bits_lsb(ring, r, nbits_out, bitring)
-            r_sh, rb_sh = jnp.asarray(r), jnp.asarray(r_bits)
+            r_sh, rb_sh = jnp.asarray(r), r_bits
             for p in range(1, self.nparty - 1):
                 with self.rand.using(p) as g:
                     mask = ring.rand(g, (n,))
@@ -629,15 +635,18 @@ class MPC:
                 r_sh = ring.sub(r_sh, mask)
                 rb_sh = bitring.sub(rb_sh, mask_bits)
             self.net.send((_np(r_sh), _np(rb_sh)), last)
-            return jnp.asarray(r), jnp.asarray(r_bits)
+            return jnp.asarray(r), r_bits
+        bit_host = getattr(bitring, "host", False)
         if self.pid == last:
             both = self.net.recv(0)
             r_sh = jnp.asarray(both[0])
-            rb_sh = jnp.asarray(both[1])
+            rb_sh = np.asarray(both[1]) if bit_host else jnp.asarray(both[1])
         else:
             with self.rand.using(0) as g:
                 r_sh = jnp.asarray(ring.rand(g, (n,)))
-                rb_sh = jnp.asarray(bitring.rand(g, (n, nbits_out)))
+                rb_sh = bitring.rand(g, (n, nbits_out))
+                if not bit_host:
+                    rb_sh = jnp.asarray(rb_sh)
         return r_sh, rb_sh
 
     # ------------------------------------------------------ is_positive etc

@@ -384,10 +384,25 @@ class Ring:
     # ------------------------------------------------------------- sampling
 
     def rand(self, rng: np.random.Generator, shape) -> np.ndarray:
-        """Host: uniform elements (negligible bias for p close to 2^{8L})."""
+        """Host: uniform elements (negligible bias for p close to 2^{8L}).
+
+        Uniform byte digits are already in canonical digit range, so only the
+        final conditional subtract of p is needed (one borrow scan instead of
+        _host_canon's four carry passes -- this is the Beaver-mask hot path)."""
         shape = tuple(shape)
         raw = rng.integers(0, 256, size=shape + (self.nlimb,), dtype=np.int64)
-        return self._host_canon(raw.astype(np.int64))
+        if self.kind != "prime":
+            raw[..., -1] &= self.top_mask
+            return raw.astype(np.int32)
+        p = np.array(self._p_digits, dtype=np.int64)
+        y = raw - p
+        borrow = np.zeros(raw.shape[:-1], dtype=np.int64)
+        for j in range(self.nlimb):
+            t = y[..., j] + borrow
+            borrow = t >> DIGIT_BITS
+            y[..., j] = t - (borrow << DIGIT_BITS)
+        ge = borrow == 0
+        return np.where(ge[..., None], y, raw).astype(np.int32)
 
     def rand_bits(self, rng: np.random.Generator, shape, nbits: int) -> np.ndarray:
         """Host: uniform in [0, 2^nbits)."""
@@ -525,12 +540,16 @@ class GF2Ring:
     """GF(2) bit shares, unpacked: int8 arrays of 0/1 (BElem analogue).
 
     The reference packs 64 bits per uint64 word and manipulates them with
-    shift tricks (mpc/mpc.go:1161-1671); here bits are unpacked int8 lanes --
-    trivially vectorizable on the VPU -- and the log-depth carry/prefix
-    networks are expressed as shifted-array Beaver ANDs instead."""
+    shift tricks on the CPU (mpc/mpc.go:1161-1671); here bits are unpacked
+    int8 lanes operated on HOST numpy.  The comparison networks are pure
+    protocol glue -- tiny arrays, one op per network step -- where per-op
+    device dispatch costs orders of magnitude more than the xor itself, so
+    the host VPU is the right execution engine (the wide-data FLOPs all live
+    in the HE/jax path)."""
 
     has_limbs = False
     modulus = 2
+    host = True  # protocol helpers keep GF(2) arrays in numpy
 
     def __hash__(self):
         return hash("gf2")
@@ -539,10 +558,10 @@ class GF2Ring:
         return isinstance(other, GF2Ring)
 
     def zeros(self, shape):
-        return jnp.zeros(shape, dtype=jnp.int8)
+        return np.zeros(shape, dtype=np.int8)
 
     def add(self, a, b):
-        return jnp.bitwise_xor(a, b)
+        return np.bitwise_xor(np.asarray(a), np.asarray(b))
 
     sub = add
 
@@ -550,7 +569,7 @@ class GF2Ring:
         return a
 
     def mul(self, a, b):
-        return jnp.bitwise_and(a, b)
+        return np.bitwise_and(np.asarray(a), np.asarray(b))
 
     def rand(self, rng: np.random.Generator, shape) -> np.ndarray:
         return rng.integers(0, 2, size=shape, dtype=np.int8)

@@ -8,9 +8,17 @@ over TCP for real multi-host deployments.
 
 from __future__ import annotations
 
+import sys
 import threading
 import traceback
 from typing import Callable, List, Optional
+
+# Protocol rounds block on queue wakeups; with the default 5 ms GIL switch
+# interval a GIL-busy party delays every other party's wakeup by ~2 quanta
+# (measured 9.5 ms/roundtrip -> 1.5 ms at 0.2 ms).  Local-sim is latency-
+# bound on exactly these wakeups, so shorten the quantum process-wide.
+if sys.getswitchinterval() > 0.0002:
+    sys.setswitchinterval(0.0002)
 
 from ..ops import ring as R
 from ..mpc.mpc import MPC

@@ -20,11 +20,11 @@ from __future__ import annotations
 import math
 from typing import List, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..crypto import basics as B
 from ..mpc import linalg, mhe, ss_he
+from ..ops import ring as R
 from ..mpc.mhe import CryptoParams
 from ..mpc.mpc import MPC
 from . import matmult as MM
@@ -223,15 +223,15 @@ def compute_std_inv(mpc, cps, varx, vary, nsnps, filt):
     var_ss = ring.zeros((nsnps + 1,))
     if pid > 0:
         idx = np.where(filt)[0][:nsnps]
-        var_ss = var_ss.at[:nsnps].set(varx_ss[jnp.asarray(idx)])
-    var_ss = var_ss.at[nsnps].set(vary_ss[0])
+        var_ss = R.aset(var_ss, slice(None, nsnps), np.asarray(varx_ss)[idx])
+    var_ss = R.aset(var_ss, nsnps, np.asarray(vary_ss)[0])
 
     stdinv_ss = mpc.sqrt_and_sqrt_inverse(var_ss)[1]
 
     stdinvx_ss = ring.zeros((n_all,))
     if pid > 0:
         idx = np.where(filt)[0][:nsnps]
-        stdinvx_ss = stdinvx_ss.at[jnp.asarray(idx)].set(stdinv_ss[:nsnps])
+        stdinvx_ss = R.aset(stdinvx_ss, idx, np.asarray(stdinv_ss)[:nsnps])
 
     stdinvx_cv = ss_he.ss_to_cmat(mpc, cps, stdinvx_ss[None])
     stdinvy_ct = ss_he.ss_to_ciphertext(mpc, cps, stdinv_ss[nsnps : nsnps + 1][None])
@@ -274,7 +274,7 @@ def compute_grad_and_inv_hessian(
         ncov = int(Cm)
         ztwz_ss = ss_he.cmat_to_ss(mpc, cps, [None] * ncov, -1, ncov)
         b_ss = linalg_mod.matrix_inverse_sqrt_svd(mpc, ztwz_ss)
-        ss_he.ss_to_cmat(mpc, cps, jnp.swapaxes(b_ss, 0, 1))
+        ss_he.ss_to_cmat(mpc, cps, np.swapaxes(np.asarray(b_ss), 0, 1))
         return None, None, None, None, None, None
     n_local = len(y)
     ncov = len(Cm)
@@ -335,7 +335,7 @@ def compute_grad_and_inv_hessian(
 
     ztwz_ss = ss_he.cmat_to_ss(mpc, cps, ZTwZ, -1, ncov)
     b_ss = linalg_mod.matrix_inverse_sqrt_svd(mpc, ztwz_ss)
-    bt_cm = ss_he.ss_to_cmat(mpc, cps, jnp.swapaxes(b_ss, 0, 1))
+    bt_cm = ss_he.ss_to_cmat(mpc, cps, np.swapaxes(np.asarray(b_ss), 0, 1))
     if mpc.pid == 0:
         return None, None, None, None, None, None
     scale_back = math.sqrt((inverse_mat_scale * 2) / math.sqrt(tot_n))

@@ -18,13 +18,13 @@ from __future__ import annotations
 import math
 from typing import List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..crypto import basics as B
 from ..mpc import linalg, mhe, ss_he
 from ..mpc.mhe import CryptoParams
 from ..mpc.mpc import MPC
+from ..ops import ring as R
 from . import matmult as MM
 
 
@@ -93,11 +93,11 @@ def distributed_pca(
     # mean / var / stdinv in SS (local counts are shares)
     inv_n = 1.0 / tot_ind
     if pid > 0:
-        sx = ring.from_i32(jnp.asarray(xsum, jnp.int32))
-        sx2_counts = ring.from_i32(jnp.asarray(x2sum, jnp.int32))
-        scale_c = ring.const(int(round(inv_n * (1 << (2 * fb)))))
-        sx = ring.mul(sx, jnp.broadcast_to(scale_c, sx.shape))
-        sx2 = ring.mul(sx2_counts, jnp.broadcast_to(scale_c, sx2_counts.shape))
+        sx = ring.from_i32(np.asarray(xsum, np.int32))
+        sx2_counts = ring.from_i32(np.asarray(x2sum, np.int32))
+        scale_c = ring.const_np(int(round(inv_n * (1 << (2 * fb)))))
+        sx = ring.mul(sx, np.broadcast_to(scale_c, sx.shape))
+        sx2 = ring.mul(sx2_counts, np.broadcast_to(scale_c, sx2_counts.shape))
     else:
         sx = ring.zeros((nsnp,))
         sx2 = ring.zeros((nsnp,))
@@ -108,19 +108,21 @@ def distributed_pca(
     x_var_ss = mpc.trunc(sx2, kb, fb)
 
     # near-zero variance -> 1.0 (gwas/pca.go:213-216)
-    zero_thres = ring.const(max(1, int(round(1e-8 * (1 << fb)))))
+    zero_thres = ring.const_np(max(1, int(round(1e-8 * (1 << fb)))))
     zero_filt = mpc.flip_bit(mpc.not_less_than_public(x_var_ss, zero_thres))
-    one_fb = ring.const(1 << fb)
-    x_var_ss = ring.add(x_var_ss, ring.mul(zero_filt, jnp.broadcast_to(one_fb, zero_filt.shape)))
+    one_fb = ring.const_np(1 << fb)
+    x_var_ss = ring.add(
+        x_var_ss, ring.mul(zero_filt, np.broadcast_to(one_fb, zero_filt.shape))
+    )
 
     _, x_stdinv_ss = mpc.sqrt_and_sqrt_inverse(x_var_ss)
 
     padded = slots * (1 + (nsnp - 1) // slots) if pid > 0 else nsnp
     stats = ring.zeros((3, padded))
     if pid > 0:
-        stats = stats.at[0, :nsnp].set(x_stdinv_ss)
-        stats = stats.at[1, :nsnp].set(x_mean_ss)
-        stats = stats.at[2, :nsnp].set(x_var_ss)
+        stats = R.aset(stats, (0, slice(None, nsnp)), x_stdinv_ss)
+        stats = R.aset(stats, (1, slice(None, nsnp)), x_mean_ss)
+        stats = R.aset(stats, (2, slice(None, nsnp)), x_var_ss)
     out_cm = ss_he.ss_to_cmat(mpc, cps, stats)
     x_stdinv = x_mean = None
     if pid > 0:

@@ -24,7 +24,6 @@ import math
 import os
 from typing import List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..mpc.mpc import MPC
@@ -33,13 +32,13 @@ from .params import FilterParams, GWASParams
 MAX_WINDOW = 10_000_000
 
 
-def _from_counts(mpc: MPC, counts) -> jnp.ndarray:
+def _from_counts(mpc: MPC, counts) -> np.ndarray:
     """Local nonnegative counts -> ring digits (zero for party 0)."""
     ring = mpc.ring
     arr = np.asarray(counts, dtype=np.int64)
     if mpc.pid == 0:
         return ring.zeros((len(arr),))
-    return ring.from_i32(jnp.asarray(arr, jnp.int32))
+    return ring.from_i32(np.asarray(arr, np.int32))
 
 
 def _reveal_bits(mpc: MPC, filt) -> np.ndarray:
@@ -56,7 +55,7 @@ def snp_miss_filter(
     """Secure comparison: non-missing count >= (1-gmiss)*N, revealed."""
     x = _from_counts(mpc, local_counts)
     lb = int((1 - gmiss_bound) * total_inds)
-    filt = mpc.not_less_than_public(x, mpc.ring.const(lb))
+    filt = mpc.not_less_than_public(x, mpc.ring.const_np(lb))
     return _reveal_bits(mpc, filt)
 
 
@@ -88,9 +87,9 @@ def snp_maf_hwe_filters(
     x_sum_sq = mpc.ss_mult_elem(s2, s2)
     x_count_sq = mpc.ss_mult_elem(x_count, x_count)
     prec = 20
-    bound = ring.const(int(round(((2 * fp.maf_lower - 1.0) ** 2) * (1 << prec))))
+    bound = ring.const_np(int(round(((2 * fp.maf_lower - 1.0) ** 2) * (1 << prec))))
     if pid > 0:
-        x_count_sq = ring.mul(x_count_sq, jnp.broadcast_to(bound, x_count_sq.shape))
+        x_count_sq = ring.mul(x_count_sq, np.broadcast_to(bound, x_count_sq.shape))
         x_sum_sq = ring.mul_int(x_sum_sq, 1 << prec)
         diff = ring.sub(x_count_sq, x_sum_sq)
     else:
@@ -118,8 +117,8 @@ def snp_maf_hwe_filters(
         div = mpc.divide(tmp, expected[i])
         chi_sq = ring.add(chi_sq, div)
 
-    hwe_bound = ring.const(int(round(fp.hwe_upper * (1 << fb))))
-    thresh = ring.mul(b2, jnp.broadcast_to(hwe_bound, b2.shape))
+    hwe_bound = ring.const_np(int(round(fp.hwe_upper * (1 << fb))))
+    thresh = ring.mul(b2, np.broadcast_to(hwe_bound, b2.shape))
     hwe_filt = mpc.less_than(chi_sq, thresh)
 
     if combine:

@@ -78,12 +78,12 @@ def net_dqr_enc(
         sgn = mpc.is_positive(x_ss)
         sgn = mpc.ring.mul_int(sgn, 2)
         if pid == mpc.hub_pid:
-            sgn = ring.sub(sgn, jnp.broadcast_to(ring.const(1), sgn.shape))
+            sgn = ring.sub(sgn, np.broadcast_to(ring.const_np(1), sgn.shape))
 
         alpha_ss = mpc.ss_mult_elem(z_sqrt_ss, sgn)
 
         apx = ring.add(alpha_ss, x_ss)
-        concat = jnp.concatenate([apx, x_ss], axis=0)
+        concat = np.concatenate([np.asarray(apx), np.asarray(x_ss)], axis=0)
         concat_sq = mpc.ss_mult_elem(concat, concat)
         z_update = mpc.trunc(
             ring.sub(concat_sq[0:1], concat_sq[1:2]), kb, fb
@@ -92,9 +92,9 @@ def net_dqr_enc(
         _, z_new_sqrt_inv = mpc.sqrt_and_sqrt_inverse(
             ring.add(z_ss, z_update), False
         )
-        scalar = ring.const(int(round(sqrt_n * (1 << fb))))
+        scalar = ring.const_np(int(round(sqrt_n * (1 << fb))))
         z_new_sqrt_inv = ring.mul(
-            z_new_sqrt_inv, jnp.broadcast_to(scalar, z_new_sqrt_inv.shape)
+            z_new_sqrt_inv, np.broadcast_to(scalar, z_new_sqrt_inv.shape)
         )
         z_new_sqrt_inv = mpc.trunc(z_new_sqrt_inv, kb, fb)
 

@@ -10,13 +10,14 @@ path inside the eigen solver, mpc/mpc.go:2310, 2804).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
+from ..ops import ring as R
 from .mpc import MPC
 
 
 def _bc(ring, const_digits, shape):
-    return jnp.broadcast_to(const_digits, tuple(shape) + (ring.nlimb,))
+    return np.broadcast_to(np.asarray(const_digits), tuple(shape) + (ring.nlimb,))
 
 
 def ss_mult_vec_scalar(mpc: MPC, d, scalar):
@@ -45,7 +46,7 @@ def householder(mpc: MPC, x):
     x1sign = mpc.is_positive(x[0:1], is_binary)
     x1sign = ring.mul_int(x1sign, 2)
     if mpc.pid == mpc.hub_pid:
-        x1sign = ring.sub(x1sign, _bc(ring, ring.const(1), (1,)))
+        x1sign = ring.sub(x1sign, _bc(ring, ring.const_np(1), (1,)))
 
     shift = mpc.ss_mult_elem(xnorm, x1sign)  # [1, L]
 
@@ -59,8 +60,8 @@ def householder(mpc: MPC, x):
     _, vnorm_inv = mpc.sqrt_and_sqrt_inverse(vdot, False)
 
     invr, invm = mpc.beaver_partition(vnorm_inv)
-    vr = xr.at[0].set(ring.add(xr[0], sr[0]))
-    vm = xm.at[0].set(ring.add(xm[0], sm[0]))
+    vr = R.aset(xr, 0, ring.add(xr[0], sr[0]))
+    vm = R.aset(xm, 0, ring.add(xm[0], sm[0]))
     v = mpc.beaver_mult_elem(vr, vm, invr, invm)
     v = mpc.beaver_reconstruct(v)
     return mpc.trunc(v, kb, fb)
@@ -73,7 +74,7 @@ def qr_fact_square(mpc: MPC, A):
     kb, fb = mpc.data_bits, mpc.frac_bits
     pid = mpc.pid
     n = A.shape[0]
-    one = ring.const(1 << fb)
+    one = ring.const_np(1 << fb)
 
     R_ = ring.zeros((n, n))
     Q = None
@@ -81,7 +82,7 @@ def qr_fact_square(mpc: MPC, A):
 
     for i in range(n - 1):
         v = householder(mpc, Ap[0])[None]  # [1, m]
-        vt = jnp.swapaxes(v, 0, 1)  # [m, 1]
+        vt = np.swapaxes(v, 0, 1)  # [m, 1]
 
         P = mpc.ss_mult_mat(vt, v)
         P = mpc.trunc(P, kb, fb)
@@ -89,8 +90,8 @@ def qr_fact_square(mpc: MPC, A):
             P = ring.mul_int(P, -2)
             if pid == mpc.hub_pid:
                 m = P.shape[0]
-                diag = jnp.arange(m)
-                P = P.at[diag, diag].set(ring.add(P[diag, diag], _bc(ring, one, (m,))))
+                diag = np.arange(m)
+                P = R.aset(P, (diag, diag), ring.add(P[diag, diag], _bc(ring, one, (m,))))
 
         if i == 0:
             Q = P
@@ -103,13 +104,13 @@ def qr_fact_square(mpc: MPC, A):
             r0 = mpc.trunc(r0, kb, fb)
             r1 = mpc.trunc(r1, kb, fb)
             if pid > 0:
-                Q = Q.at[i:].set(r0)
+                Q = R.aset(Q, slice(i, None), r0)
             B = r1
 
         if pid > 0:
-            R_ = R_.at[i : n, i].set(B[: n - i, 0])
+            R_ = R.aset(R_, (slice(i, n), i), B[: n - i, 0])
             if i == n - 2:
-                R_ = R_.at[n - 1, n - 1].set(B[1, 1])
+                R_ = R.aset(R_, (n - 1, n - 1), B[1, 1])
 
         Ap = B[1:, 1:] if pid > 0 else ring.zeros((n - i - 1, n - i - 1))
     return Q, R_
@@ -121,13 +122,13 @@ def tridiag(mpc: MPC, A):
     kb, fb = mpc.data_bits, mpc.frac_bits
     pid = mpc.pid
     n = A.shape[0]
-    one = ring.const(1 << fb)
+    one = ring.const_np(1 << fb)
 
     T = ring.zeros((n, n))
     Q = ring.zeros((n, n))
     if pid == mpc.hub_pid:
-        diag = jnp.arange(n)
-        Q = Q.at[diag, diag].set(_bc(ring, one, (n,)))
+        diag = np.arange(n)
+        Q = R.aset(Q, (diag, diag), _bc(ring, one, (n,)))
 
     Ap = A
     for i in range(n - 2):
@@ -135,7 +136,7 @@ def tridiag(mpc: MPC, A):
         x = Ap[0, 1:] if pid > 0 else ring.zeros((m - 1,))
 
         v = householder(mpc, x)[None]  # [1, m-1]
-        vt = jnp.swapaxes(v, 0, 1)
+        vt = np.swapaxes(v, 0, 1)
         vv = mpc.ss_mult_mat(vt, v)
         vv = mpc.trunc(vv, kb, fb)
 
@@ -143,12 +144,12 @@ def tridiag(mpc: MPC, A):
         if pid > 0:
             body = ring.mul_int(vv, -2)
             if pid == mpc.hub_pid:
-                dg = jnp.arange(m - 1)
-                body = body.at[dg, dg].set(
-                    ring.add(body[dg, dg], _bc(ring, one, (m - 1,)))
+                dg = np.arange(m - 1)
+                body = R.aset(
+                    body, (dg, dg), ring.add(body[dg, dg], _bc(ring, one, (m - 1,)))
                 )
-                P = P.at[0, 0].set(one)
-            P = P.at[1:, 1:].set(body)
+                P = R.aset(P, (0, 0), one)
+            P = R.aset(P, (slice(1, None), slice(1, None)), body)
 
         PAp = mpc.ss_mult_mat(P, Ap)
         PAp = mpc.trunc(PAp, kb, fb)
@@ -159,17 +160,17 @@ def tridiag(mpc: MPC, A):
         Qsub = mpc.ss_mult_mat(Qsub, P)
         Qsub = mpc.trunc(Qsub, kb, fb)
         if pid > 0:
-            Q = Q.at[:, i:].set(Qsub)
+            Q = R.aset(Q, (slice(None), slice(i, None)), Qsub)
 
         if pid > 0:
-            T = T.at[i, i].set(B[0, 0])
-            T = T.at[i + 1, i].set(B[1, 0])
-            T = T.at[i, i + 1].set(B[0, 1])
+            T = R.aset(T, (i, i), B[0, 0])
+            T = R.aset(T, (i + 1, i), B[1, 0])
+            T = R.aset(T, (i, i + 1), B[0, 1])
             if i == n - 3:
-                T = T.at[i + 1, i + 1].set(B[1, 1])
-                T = T.at[i + 1, i + 2].set(B[1, 2])
-                T = T.at[i + 2, i + 1].set(B[2, 1])
-                T = T.at[i + 2, i + 2].set(B[2, 2])
+                T = R.aset(T, (i + 1, i + 1), B[1, 1])
+                T = R.aset(T, (i + 1, i + 2), B[1, 2])
+                T = R.aset(T, (i + 2, i + 1), B[2, 1])
+                T = R.aset(T, (i + 2, i + 2), B[2, 2])
 
         Ap = B[1:, 1:] if pid > 0 else ring.zeros((m - 1, m - 1))
     return T, Q
@@ -185,32 +186,32 @@ def eigen_decomp(mpc: MPC, A, iter_per_eval: int = 5):
     Lout = ring.zeros((n,))
 
     Ap, Q = tridiag(mpc, A)
-    V = jnp.swapaxes(Q, 0, 1) if pid != 0 else ring.zeros((n, n))
+    V = np.swapaxes(Q, 0, 1) if pid != 0 else ring.zeros((n, n))
 
     for i in range(n - 1, 0, -1):
         for _ in range(iter_per_eval):
             shift = Ap[i, i]
             if pid > 0:
-                diag = jnp.arange(Ap.shape[0])
-                Ap = Ap.at[diag, diag].set(ring.sub(Ap[diag, diag], shift[None]))
+                diag = np.arange(Ap.shape[0])
+                Ap = R.aset(Ap, (diag, diag), ring.sub(Ap[diag, diag], shift[None]))
 
             Qi, Ri = qr_fact_square(mpc, Ap)
             Ap = mpc.ss_mult_mat(Qi, Ri)
             Ap = mpc.trunc(Ap, kb, fb)
 
             if pid > 0:
-                diag = jnp.arange(Ap.shape[0])
-                Ap = Ap.at[diag, diag].set(ring.add(Ap[diag, diag], shift[None]))
+                diag = np.arange(Ap.shape[0])
+                Ap = R.aset(Ap, (diag, diag), ring.add(Ap[diag, diag], shift[None]))
 
             Vsub = V[: i + 1] if pid > 0 else ring.zeros((i + 1, n))
             Vsub = mpc.ss_mult_mat(Qi, Vsub)
             Vsub = mpc.trunc(Vsub, kb, fb)
             if pid > 0:
-                V = V.at[: i + 1].set(Vsub)
+                V = R.aset(V, slice(None, i + 1), Vsub)
 
-        Lout = Lout.at[i].set(Ap[i, i])
+        Lout = R.aset(Lout, i, Ap[i, i])
         if i == 1:
-            Lout = Lout.at[0].set(Ap[0, 0])
+            Lout = R.aset(Lout, 0, Ap[0, 0])
         Ap = Ap[:i, :i]
     return V, Lout
 
@@ -235,10 +236,9 @@ def sort_rows_descend(mpc: MPC, A, w):
             diff = ring.sub(w[j], w[j - 1])[None]
             is_flip = mpc.is_positive(diff, mpc.boolean_shares)[0]
             a_j, a_jm1 = swap(mpc, A[j], A[j - 1], is_flip)
-            A = A.at[j].set(a_j).at[j - 1].set(a_jm1)
+            A = R.aset(R.aset(A, j, a_j), j - 1, a_jm1)
             w_j, w_jm1 = swap(mpc, w[j][None], w[j - 1][None], is_flip)
-            A = A  # keep shapes
-            w = w.at[j].set(w_j[0]).at[j - 1].set(w_jm1[0])
+            w = R.aset(R.aset(w, j, w_j[0]), j - 1, w_jm1[0])
     return A, w
 
 
@@ -246,7 +246,7 @@ def matrix_inverse_sqrt_svd(mpc: MPC, A):
     """B with B^T B = (A + A^T)^{-1} (mpc/mpc.go:2864-2888)."""
     ring = mpc.ring
     kb, fb = mpc.data_bits, mpc.frac_bits
-    Asym = ring.add(A, jnp.swapaxes(A, 0, 1))
+    Asym = ring.add(A, np.swapaxes(A, 0, 1))
     Ut, S = eigen_decomp(mpc, Asym)
     _, s_sqrt_inv = mpc.sqrt_and_sqrt_inverse(S, False)
     sr, sm = mpc.beaver_partition(s_sqrt_inv)
@@ -267,6 +267,6 @@ def matrix_inverse_sym_pos(mpc: MPC, A):
     AInvSqrt = mpc.beaver_mult_elem(vr, vm, lr[:, None], lm[:, None])
     AInvSqrt = mpc.beaver_reconstruct(AInvSqrt)
     AInvSqrt = mpc.trunc(AInvSqrt, kb, fb)
-    AInv = mpc.ss_mult_mat(jnp.swapaxes(AInvSqrt, 0, 1), AInvSqrt)
+    AInv = mpc.ss_mult_mat(np.swapaxes(AInvSqrt, 0, 1), AInvSqrt)
     AInv = mpc.trunc(AInv, kb, fb)
     return AInv, AInvSqrt

@@ -270,7 +270,7 @@ class MPC:
             r_share, rl_share = None, None
         elif self.pid == last:
             both = self.net.recv(0)
-            r_share, rl_share = jnp.asarray(both[0]), jnp.asarray(both[1])
+            r_share, rl_share = np.asarray(both[0]), np.asarray(both[1])
         else:
             with self.rand.using(0) as g:
                 r_share = ring.rand(g, shape)
@@ -283,7 +283,7 @@ class MPC:
         out = ring.add(a, rl_share)
         if self.pid == 1:
             out = ring.sub(out, c_low)
-        return ring.mul(out, jnp.broadcast_to(ring.inv_pow2_digits(m), out.shape))
+        return ring.mul(out, np.broadcast_to(ring.inv_pow2_np(m), out.shape))
 
     # ------------------------------------------------- powers / polynomials
 
@@ -306,7 +306,7 @@ class MPC:
             ampow = [ring.mul(am, am)]
             for p in range(1, pow_ - 1):
                 ampow.append(ring.mul(ampow[-1], am))
-            ampow = jnp.stack(ampow)
+            ampow = np.stack(ampow)
             for p in range(1, self.nparty - 1):
                 with self.rand.using(p) as g:
                     share = ring.rand(g, (pow_ - 1, n))
@@ -314,7 +314,7 @@ class MPC:
             self.net.send(_np(ampow), last)
             return ring.zeros((pow_ + 1, n))
         if pid == last:
-            ampow = self.net.recv(0)
+            ampow = np.asarray(self.net.recv(0))
         else:
             with self.rand.using(0) as g:
                 ampow = ring.rand(g, (pow_ - 1, n))
@@ -329,9 +329,9 @@ class MPC:
         # instead of one per term -- the per-term version dominated the
         # protocol profile) and segment-summed into the rows.
         t = _pascal(pow_)
-        ampow = jnp.asarray(ampow)
-        AR = jnp.concatenate([ar[None], jnp.stack(arpow)])  # powers 1..pow_
-        AM = jnp.concatenate([am[None], ampow])  # powers 1..pow_
+        ampow = np.asarray(ampow)
+        AR = np.concatenate([np.asarray(ar)[None], np.stack(arpow)])  # powers 1..pow_
+        AM = np.concatenate([np.asarray(am)[None], ampow])  # powers 1..pow_
         I, J, Pp, Cs = [], [], [], []
         for p in range(2, pow_ + 1):
             for j in range(1, p):
@@ -339,11 +339,9 @@ class MPC:
                 J.append(j - 1)  # index into AM (power j)
                 Pp.append(p)
                 Cs.append(t[p][j])
-        coeff_digits = jnp.asarray(
-            np.stack([np.asarray(ring.const(int(c))) for c in Cs])
-        )  # [npairs, L]
+        coeff_digits = np.stack([ring.const_np(int(c)) for c in Cs])  # [npairs, L]
         L = ring.nlimb
-        acc_raw = jnp.zeros((pow_ + 1, n, L), jnp.int32)
+        acc_raw = np.zeros((pow_ + 1, n, L), np.int64)
         npairs = len(I)
         chunk = max(1, (1 << 24) // max(1, n * L))
         Iv, Jv, Pv = np.asarray(I), np.asarray(J), np.asarray(Pp)
@@ -351,17 +349,16 @@ class MPC:
             sl = slice(s, min(s + chunk, npairs))
             cross = ring.mul(AR[Iv[sl]], AM[Jv[sl]])  # [c, n, L]
             wt = ring.mul(cross, coeff_digits[sl][:, None, :])
-            acc_raw = acc_raw.at[Pv[sl]].add(wt)
+            np.add.at(acc_raw, Pv[sl], wt)
         acc = ring.reduce(acc_raw)  # canonical-digit sums < npairs*255: safe
 
-        rows = jnp.zeros((pow_ + 1, n, L), jnp.int32)
+        rows = np.zeros((pow_ + 1, n, L), np.int32)
         if pid == 1:
-            rows = rows.at[0].set(ring.ones((n,)))
+            rows[0] = ring.ones((n,))
             # public term ar^p (only party 1 adds public values)
-            rows = rows.at[2:].set(AR[1:])
-        rows = rows.at[1].set(a)
-        tail = ring.add(ring.add(rows[2:], acc[2:]), AM[1:])
-        rows = rows.at[2:].set(tail)
+            rows[2:] = AR[1:]
+        rows[1] = a
+        rows[2:] = ring.add(ring.add(rows[2:], acc[2:]), AM[1:])
         return rows
 
     def evaluate_poly(self, a, coeff):
@@ -388,14 +385,14 @@ class MPC:
                 b[0] = 1
             if pid > 0:
                 b[1] = _np(a)
-            return jnp.asarray(b)
+            return b
         ar, am = self.beaver_partition(a, F)
         last = self.nparty - 1
         if pid == 0:
             ampow = [F.mul(am, am)]
             for p in range(1, pow_ - 1):
                 ampow.append(F.mul(ampow[-1], am))
-            ampow = jnp.stack(ampow)
+            ampow = np.stack(ampow)
             for p in range(1, self.nparty - 1):
                 with self.rand.using(p) as g:
                     share = F.rand(g, (pow_ - 1, n))
@@ -403,19 +400,18 @@ class MPC:
             self.net.send(_np(ampow), last)
             return F.zeros((pow_ + 1, n))
         if pid == last:
-            ampow = jnp.asarray(self.net.recv(0))
+            ampow = np.asarray(self.net.recv(0))
         else:
             with self.rand.using(0) as g:
-                ampow = jnp.asarray(F.rand(g, (pow_ - 1, n)))
+                ampow = F.rand(g, (pow_ - 1, n))
         arpow = [F.mul(ar, ar)]
         for p in range(1, pow_ - 1):
             arpow.append(F.mul(arpow[-1], ar))
         t = _pascal(pow_)
         p_mod = F.modulus
-        # batched triangle (see powers()): all cross terms in a few
-        # dispatches instead of one per (p, j)
-        AR = jnp.concatenate([ar[None], jnp.stack(arpow)])  # powers 1..pow_
-        AM = jnp.concatenate([am[None], ampow])
+        # batched triangle (see powers()): all cross terms in one host pass
+        AR = np.concatenate([np.asarray(ar)[None], np.stack(arpow)])  # powers 1..pow_
+        AM = np.concatenate([np.asarray(am)[None], ampow])
         I, J, Pp, Cs = [], [], [], []
         for p in range(2, pow_ + 1):
             for j in range(1, p):
@@ -424,36 +420,34 @@ class MPC:
                 Pp.append(p)
                 Cs.append(t[p][j] % p_mod)
         Iv, Jv, Pv = np.asarray(I), np.asarray(J), np.asarray(Pp)
-        Cv = jnp.asarray(np.asarray(Cs, np.int32))
-        acc = jnp.zeros((pow_ + 1, n), jnp.int32)
-        chunk = max(1, (1 << 24) // max(1, n))
-        for s in range(0, len(I), chunk):
-            sl = slice(s, min(s + chunk, len(I)))
-            cross = F.mul(AR[Iv[sl]], AM[Jv[sl]])  # [c, n]
-            wt = F.mul(cross, Cv[sl][:, None])
-            acc = acc.at[Pv[sl]].add(wt) % p_mod
+        Cv = np.asarray(Cs, np.int64)
+        # n * p^2 terms fit int64: accumulate then one mod
+        acc64 = np.zeros((pow_ + 1, n), np.int64)
+        cross = (AR[Iv].astype(np.int64) * AM[Jv]) % p_mod
+        np.add.at(acc64, Pv, cross * Cv[:, None] % p_mod)
+        acc = (acc64 % p_mod).astype(np.int32)
 
-        rows = jnp.zeros((pow_ + 1, n), jnp.int32)
+        rows = np.zeros((pow_ + 1, n), np.int32)
         if pid == 1:
-            rows = rows.at[0].set(1)
-            rows = rows.at[2:].set(AR[1:])
-        rows = rows.at[1].set(a)
-        tail = (rows[2:] + acc[2:] + AM[1:]) % p_mod
-        return rows.at[2:].set(tail)
+            rows[0] = 1
+            rows[2:] = AR[1:]
+        rows[1] = a
+        rows[2:] = (rows[2:].astype(np.int64) + acc[2:] + AM[1:]) % p_mod
+        return rows
 
     def evaluate_poly_small(self, a, coeff):
         F = self.sbit
         apow = self.powers_small(a, coeff.shape[1] - 1)
         if self.pid == 0:
             return F.zeros((coeff.shape[0], a.shape[0]))
-        return F.matmul(jnp.asarray(coeff), apow)
+        return F.matmul(np.asarray(coeff), apow)
 
     def fan_in_or(self, a):
         """OR of each row of shared bits over the small field
         (mpc/mpc.go:541-561).  a: [n, d] SElem shares of 0/1."""
         F = self.sbit
         n, d = a.shape
-        row_sum = jnp.sum(a, axis=1) % F.modulus
+        row_sum = np.sum(np.asarray(a, np.int64), axis=1) % F.modulus
         if self.pid == 1:
             row_sum = F.add(row_sum, 1)
         key = d + 1
@@ -472,36 +466,33 @@ class MPC:
         L = int(math.ceil(math.sqrt(k)))
         L2 = L * L
         # zero-pad on the left to L2 bits, reshape [n*L, L]
-        apad = jnp.zeros((n, L2), jnp.int32)
+        apad = np.zeros((n, L2), np.int32)
         if pid > 0:
-            apad = apad.at[:, L2 - k :].set(a)
+            apad[:, L2 - k :] = a
         apad = apad.reshape(n * L, L)
 
         x = self.fan_in_or(apad)  # block ORs, [n*L]
-        xb = x.reshape(n, L)
+        xb = np.asarray(x).reshape(n, L)
         # y[i, s1] = OR of block ORs up to s1; row (i, s1) holds x[i, :s1+1]
-        xpre = jnp.where(
-            jnp.arange(L)[None, None, :] <= jnp.arange(L)[None, :, None], xb[:, None, :], 0
+        xpre = np.where(
+            np.arange(L)[None, None, :] <= np.arange(L)[None, :, None], xb[:, None, :], 0
         )
-        y = self.fan_in_or(xpre.reshape(n * L, L)).reshape(n, L)
+        y = np.asarray(self.fan_in_or(xpre.reshape(n * L, L))).reshape(n, L)
         # f: first-block indicator
-        f = jnp.zeros((n, L), jnp.int32)
+        f = np.zeros((n, L), np.int32)
         if pid > 0:
-            f = f.at[:, 0].set(xb[:, 0])
-            f = f.at[:, 1:].set(F.sub(y[:, 1:], y[:, :-1]))
+            f[:, 0] = xb[:, 0]
+            f[:, 1:] = F.sub(y[:, 1:], y[:, :-1])
 
         fr, fm = self.beaver_partition(f, F)
         apr, apm = self.beaver_partition(apad, F)
-        # c[i] = f[i] (1 x L) . blocks (L x L); accumulate with a mod after
-        # each rank-1 term to stay int32-safe
-        ar3 = apr.reshape(n, L, L)
-        am3 = apm.reshape(n, L, L)
+        ar3 = np.asarray(apr).reshape(n, L, L)
+        am3 = np.asarray(apm).reshape(n, L, L)
 
         def _vecmat(v, M):  # [n, L] x [n, L, L] -> [n, L] mod p
-            acc = jnp.zeros((n, L), jnp.int32)
-            for j in range(L):
-                acc = (acc + v[:, j : j + 1] * M[:, j, :]) % F.modulus
-            return acc
+            return (
+                np.einsum("nj,njk->nk", np.asarray(v, np.int64), M) % F.modulus
+            ).astype(np.int32)
 
         if self.pid == 0:
             c = _vecmat(fm, am3)
@@ -509,36 +500,37 @@ class MPC:
             c = (_vecmat(fr, am3) + _vecmat(fm, ar3)) % F.modulus
             if self.pid == 1:
                 c = (c + _vecmat(fr, ar3)) % F.modulus
-        c = self.beaver_reconstruct(c, F)
+        c = np.asarray(self.beaver_reconstruct(c, F))
 
-        cpre = jnp.where(
-            jnp.arange(L)[None, None, :] <= jnp.arange(L)[None, :, None],
+        cpre = np.where(
+            np.arange(L)[None, None, :] <= np.arange(L)[None, :, None],
             c[:, None, :],
             0,
         )
-        bdot = self.fan_in_or(cpre.reshape(n * L, L)).reshape(n, L)
+        bdot = np.asarray(self.fan_in_or(cpre.reshape(n * L, L))).reshape(n, L)
 
         bdr, bdm = self.beaver_partition(bdot, F)
-        # s[i] = outer(f[i], bdot[i])  [L, L]; reduce each product before
-        # adding (two raw int32 products overflow)
-        if self.pid == 0:
-            s = jnp.einsum("ni,nj->nij", fm, bdm) % F.modulus
-        else:
-            s = (
-                jnp.einsum("ni,nj->nij", fr, bdm) % F.modulus
-                + jnp.einsum("ni,nj->nij", fm, bdr) % F.modulus
-            ) % F.modulus
-            if self.pid == 1:
-                s = (s + jnp.einsum("ni,nj->nij", fr, bdr) % F.modulus) % F.modulus
-        s = self.beaver_reconstruct(s.reshape(n, L * L), F).reshape(n, L, L)
+        # s[i] = outer(f[i], bdot[i])  [L, L] (int64 accumulate, one mod)
+        def _outer(u, v):
+            return np.einsum("ni,nj->nij", np.asarray(u, np.int64), np.asarray(v, np.int64)) % F.modulus
 
-        out = jnp.zeros((n, k), jnp.int32)
+        if self.pid == 0:
+            s = _outer(fm, bdm)
+        else:
+            s = (_outer(fr, bdm) + _outer(fm, bdr)) % F.modulus
+            if self.pid == 1:
+                s = (s + _outer(fr, bdr)) % F.modulus
+        s = np.asarray(
+            self.beaver_reconstruct(s.astype(np.int32).reshape(n, L * L), F)
+        ).reshape(n, L, L)
+
+        out = np.zeros((n, k), np.int32)
         if pid > 0:
-            jpad = jnp.arange(L2 - k, L2)
+            jpad = np.arange(L2 - k, L2)
             il = jpad // L
             jl = jpad % L
-            vals = (s[:, il, jl] + y[:, il] - f[:, il]) % F.modulus
-            out = vals.astype(jnp.int32)
+            vals = (s[:, il, jl] + y[:, il].astype(np.int64) - f[:, il]) % F.modulus
+            out = vals.astype(np.int32)
         return out
 
     def table_lookup(self, a, table_id: int):
@@ -547,8 +539,8 @@ class MPC:
         a: small-field shares converted to big-field by reinterpretation."""
         ring = self.ring
         coeff_ints = self._get_lagrange_table(table_id)
-        a_big = ring.from_i32(jnp.asarray(a, jnp.int32))
-        coeff = jnp.asarray(ring.from_ints(coeff_ints))
+        a_big = ring.from_i32(np.asarray(a, np.int32))
+        coeff = ring.from_ints(coeff_ints)
         return self.evaluate_poly(a_big, coeff)
 
     def _get_lagrange_table(self, table_id: int):
@@ -602,15 +594,18 @@ class MPC:
                 x = F.zeros((n, k))
         f = self.prefix_or(x)
         if pid > 0:
-            f = jnp.concatenate([f[:, :1], (f[:, 1:] - f[:, :-1]) % F.modulus], axis=1)
+            f = np.concatenate(
+                [np.asarray(f)[:, :1], (np.asarray(f)[:, 1:] - np.asarray(f)[:, :-1]) % F.modulus],
+                axis=1,
+            )
         if public_b:
             if pid > 0:
-                return jnp.sum(f * b, axis=1) % F.modulus
+                return (np.sum(np.asarray(f, np.int64) * b, axis=1) % F.modulus).astype(np.int32)
             return F.zeros((n,))
         fr, fm = self.beaver_partition(f, F)
         br, bm = self.beaver_partition(b, F)
         c = self.beaver_mult_elem(fr, fm, br, bm, F)
-        c = jnp.sum(c, axis=1) % F.modulus
+        c = (np.sum(np.asarray(c, np.int64), axis=1) % F.modulus).astype(np.int32)
         return self.beaver_reconstruct(c, F)
 
     # -------------------------------------------------- random bit sharing
@@ -627,7 +622,7 @@ class MPC:
             else:
                 r = ring.rand(self.rand.cur(), (n,))
             r_bits = _bits_lsb(ring, r, nbits_out, bitring)
-            r_sh, rb_sh = jnp.asarray(r), r_bits
+            r_sh, rb_sh = np.asarray(r), r_bits
             for p in range(1, self.nparty - 1):
                 with self.rand.using(p) as g:
                     mask = ring.rand(g, (n,))
@@ -635,18 +630,15 @@ class MPC:
                 r_sh = ring.sub(r_sh, mask)
                 rb_sh = bitring.sub(rb_sh, mask_bits)
             self.net.send((_np(r_sh), _np(rb_sh)), last)
-            return jnp.asarray(r), r_bits
-        bit_host = getattr(bitring, "host", False)
+            return np.asarray(r), r_bits
         if self.pid == last:
             both = self.net.recv(0)
-            r_sh = jnp.asarray(both[0])
-            rb_sh = np.asarray(both[1]) if bit_host else jnp.asarray(both[1])
+            r_sh = np.asarray(both[0])
+            rb_sh = np.asarray(both[1])
         else:
             with self.rand.using(0) as g:
-                r_sh = jnp.asarray(ring.rand(g, (n,)))
+                r_sh = ring.rand(g, (n,))
                 rb_sh = bitring.rand(g, (n, nbits_out))
-                if not bit_host:
-                    rb_sh = jnp.asarray(rb_sh)
         return r_sh, rb_sh
 
     # ------------------------------------------------------ is_positive etc
@@ -675,8 +667,8 @@ class MPC:
         no_overflow = self.less_than_bits_aux(r_bits_msb, c_bits, public_b=True)
 
         if pid > 0:
-            c_lsb = c_bits[:, nbits - 1]  # LSB of revealed value (public)
-            r_lsb = r_bits[:, 0]
+            c_lsb = np.asarray(c_bits)[:, nbits - 1]  # LSB of revealed value (public)
+            r_lsb = np.asarray(r_bits)[:, 0]
             cxr = (r_lsb - 2 * c_lsb * r_lsb) % F.modulus
             if pid == 1:
                 cxr = (cxr + c_lsb) % F.modulus
@@ -698,7 +690,7 @@ class MPC:
             return ring.zeros(self._shape(ring, a))
         b = ring.neg(a)
         if self.pid == 1:
-            b = ring.add(b, jnp.broadcast_to(ring.const(1), b.shape))
+            b = ring.add(b, np.broadcast_to(ring.const_np(1), b.shape))
         return b
 
     def less_than(self, a, b, binary=None):
@@ -712,7 +704,7 @@ class MPC:
         ring = self.ring
         acopy = a
         if self.pid == 1:
-            acopy = ring.sub(a, jnp.broadcast_to(bpub_digits, a.shape))
+            acopy = ring.sub(a, np.broadcast_to(np.asarray(bpub_digits), a.shape))
         return self.flip_bit(self.is_positive(acopy, binary))
 
     def not_less_than_public(self, a, bpub_digits, binary=None):
@@ -744,22 +736,24 @@ class MPC:
         if pid > 0:
             cnew = F.zeros((n,))
             if pid == 1:
-                cnew = jnp.ones((n,), jnp.int32)
-            c = (cnew - c) % F.modulus
+                cnew = np.ones((n,), np.int32)
+            c = (cnew - np.asarray(c)) % F.modulus
 
         ep = F.zeros((n, k + 1))
         if pid > 0:
-            ep = ep.at[:, 0].set(c)
-            body = ((1 - 2 * e_bits) * r_bits) % F.modulus
+            ep[:, 0] = c
+            body = ((1 - 2 * np.asarray(e_bits, np.int64)) * r_bits) % F.modulus
             if pid == 1:
                 body = (body + e_bits) % F.modulus
-            ep = ep.at[:, 1:].set(body)
+            ep[:, 1:] = body
         E = self.prefix_or(ep)
 
         tp_neg = F.zeros((n, k))
         if pid > 0:
-            tp_neg = (E[:, :k] - r_bits * (1 - e_bits)) % F.modulus
-        T_neg = self.prefix_or(tp_neg)
+            tp_neg = (
+                np.asarray(E)[:, :k] - np.asarray(r_bits, np.int64) * (1 - np.asarray(e_bits))
+            ) % F.modulus
+        T_neg = self.prefix_or(tp_neg.astype(np.int32))
 
         half = k // 2
         if pid > 0:
@@ -772,27 +766,27 @@ class MPC:
         odd_bits = F.zeros((n, half))
         even_bits = F.zeros((n, half))
         if pid > 0:
-            odd_idx = jnp.arange(half) * 2 + 1
+            T_neg = np.asarray(T_neg)
+            odd_idx = np.arange(half) * 2 + 1
             odd_bits = (-T_neg[:, odd_idx]) % F.modulus
             if pid == 1:
                 odd_bits = (odd_bits + 1) % F.modulus
-            even_vals = jnp.zeros((n, half), jnp.int32)
-            even_idx = jnp.arange(half) * 2 + 2
+            even_idx = np.arange(half) * 2 + 2
             valid = even_idx < k
-            ev = jnp.where(valid[None, :], -T_neg[:, jnp.minimum(even_idx, k - 1)], 0)
+            ev = np.where(valid[None, :], -T_neg[:, np.minimum(even_idx, k - 1)], 0)
             even_bits = ev % F.modulus
             if pid == 1:
-                even_bits = (even_bits + jnp.where(valid[None, :], 1, 0)) % F.modulus
+                even_bits = (even_bits + np.where(valid[None, :], 1, 0)) % F.modulus
 
-        odd_sum = jnp.sum(odd_bits, axis=1) % F.modulus
-        even_sum = jnp.sum(even_bits, axis=1) % F.modulus
+        odd_sum = np.sum(np.asarray(odd_bits, np.int64), axis=1) % F.modulus
+        even_sum = np.sum(np.asarray(even_bits, np.int64), axis=1) % F.modulus
         if pid == 1:
             odd_sum = (odd_sum + 1) % F.modulus
             even_sum = (even_sum + 1) % F.modulus
 
-        diff = (odd_sum - even_sum) % F.modulus
+        diff = ((odd_sum - even_sum) % F.modulus).astype(np.int32)
         diff = self.ss_mult_elem(double_flag, diff, F)
-        chosen = (even_sum + diff) % F.modulus
+        chosen = ((even_sum + diff) % F.modulus).astype(np.int32)
 
         bmat = self.table_lookup(chosen, 1)
         return bmat[1], bmat[0]
@@ -811,7 +805,7 @@ class MPC:
                 )
                 outs.append(o)
                 outs_inv.append(oi)
-            return jnp.concatenate(outs), jnp.concatenate(outs_inv)
+            return np.concatenate(outs), np.concatenate(outs_inv)
 
         pid = self.pid
         kb, fb = self.data_bits, self.frac_bits
@@ -831,8 +825,8 @@ class MPC:
                 ring.mul_int(a_scaled, -4), ring.mul_int(a_scaled_sq, 2)
             )
             if pid == self.hub_pid:
-                const = ring.const(int(round(2.9581 * (1 << fb))))
-                scaled_est = ring.add(scaled_est, jnp.broadcast_to(const, scaled_est.shape))
+                const = ring.const_np(int(round(2.9581 * (1 << fb))))
+                scaled_est = ring.add(scaled_est, np.broadcast_to(const, scaled_est.shape))
 
         h = self.ss_mult_elem(scaled_est, s_sqrt)
         h = self.trunc(h, kb // 2 + fb + 2, (kb - fb) // 2 + 1)
@@ -845,15 +839,15 @@ class MPC:
         # trunc round update both (the reference partitions once per step,
         # mpc/mpc.go:1991-2080; stacking serves the same round count with
         # half the per-step protocol messages of the naive loop)
-        onept5 = ring.const(int(round(1.5 * (1 << fb))))
-        gh = jnp.concatenate([g, h])
+        onept5 = ring.const_np(int(round(1.5 * (1 << fb))))
+        gh = np.concatenate([g, h])
         for _ in range(num_iter):
             r = self.ss_mult_elem(gh[n:], gh[:n])
             r = self.trunc(r, kb, fb)
             r = ring.neg(r)
             if pid == 1:
-                r = ring.add(r, jnp.broadcast_to(onept5, r.shape))
-            gh = self.ss_mult_elem(gh, jnp.concatenate([r, r]))
+                r = ring.add(r, np.broadcast_to(onept5, r.shape))
+            gh = self.ss_mult_elem(gh, np.concatenate([r, r]))
             gh = self.trunc(gh, kb, fb)
         return gh[:n], ring.mul_int(gh[n:], 2)
 
@@ -871,7 +865,7 @@ class MPC:
                         binary,
                     )
                 )
-            return jnp.concatenate(outs)
+            return np.concatenate(outs)
         pid = self.pid
         kb, fb = self.data_bits, self.frac_bits
         num_iter = 2 * int(math.ceil(math.log2(kb / 3.5))) + 1
@@ -888,8 +882,8 @@ class MPC:
                 ring.mul_int(b_scaled, -10), ring.mul_int(b_scaled_sq, 5)
             )
             if pid == 1:
-                const = ring.const(int(round(5.9430 * (1 << fb))))
-                scaled_est = ring.add(scaled_est, jnp.broadcast_to(const, scaled_est.shape))
+                const = ring.const_np(int(round(5.9430 * (1 << fb))))
+                scaled_est = ring.add(scaled_est, np.broadcast_to(const, scaled_est.shape))
 
         w = self.ss_mult_elem(scaled_est, s)
         w = self.trunc(w, kb + fb + 2, kb - fb)
@@ -897,9 +891,9 @@ class MPC:
         x = self.ss_mult_elem(w, b)
         x = self.trunc(x, kb, fb)
         x = ring.neg(x)
-        one = ring.const(1 << fb)
+        one = ring.const_np(1 << fb)
         if pid == 1:
-            x = ring.add(x, jnp.broadcast_to(one, x.shape))
+            x = ring.add(x, np.broadcast_to(one, x.shape))
 
         y = self.ss_mult_elem(w, a)
         y = self.trunc(y, kb, fb)
@@ -910,15 +904,15 @@ class MPC:
             (xr, yr), (xm, ym) = self.beaver_partition_many([x, y])
             xpr = xr
             if pid > 0:
-                xpr = ring.add(xr, jnp.broadcast_to(one, xr.shape))
+                xpr = ring.add(xr, np.broadcast_to(one, xr.shape))
             y = self.beaver_mult_elem(yr, ym, xpr, xm)
             x = self.beaver_mult_elem(xr, xm, xr, xm)
-            yx = self.beaver_reconstruct(jnp.concatenate([y, x]))
+            yx = self.beaver_reconstruct(np.concatenate([y, x]))
             yx = self.trunc(yx, kb, fb)
             y, x = yx[:n], yx[n:]
 
         if pid == 1:
-            x = ring.add(x, jnp.broadcast_to(one, x.shape))
+            x = ring.add(x, np.broadcast_to(one, x.shape))
         c = self.ss_mult_elem(x, y)
         return self.trunc(c, kb, fb)
 
@@ -928,7 +922,7 @@ class MPC:
 
 
 def _assign(ring, mat, row, val):
-    return mat.at[row].set(val)
+    return R.aset(mat, row, val)
 
 
 _pascal_cache = {}
@@ -988,4 +982,4 @@ def _bits_lsb(ring, vals, nbits, bitring):
 
 
 def _bits_msb(ring, vals, nbits, bitring):
-    return jnp.asarray(_bits_lsb(ring, vals, nbits, bitring)[:, ::-1].copy())
+    return _bits_lsb(ring, vals, nbits, bitring)[:, ::-1].copy()

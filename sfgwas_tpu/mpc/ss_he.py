@@ -51,7 +51,7 @@ def _words_to_ints(w: np.ndarray) -> List[int]:
     return out
 
 
-def _words_to_ring_digits(w: np.ndarray, ring: R.Ring) -> jnp.ndarray:
+def _words_to_ring_digits(w: np.ndarray, ring: R.Ring) -> np.ndarray:
     """Signed word array [nwords, n] -> canonical ring digits [n, nlimb]."""
     nw, n = w.shape
     digits = np.zeros((n, ring.nlimb), dtype=np.int32)
@@ -60,7 +60,7 @@ def _words_to_ring_digits(w: np.ndarray, ring: R.Ring) -> jnp.ndarray:
         digits[:, base] += (w[k] & 0xFF).astype(np.int32)
         digits[:, base + 1] += ((w[k] >> 8) & 0xFF).astype(np.int32)
         digits[:, base + 2] += (w[k] >> 16).astype(np.int32)  # keeps sign
-    return ring.reduce(jnp.asarray(digits))
+    return ring.reduce(np.asarray(digits))
 
 
 def _centered_ints(ring: R.Ring, digits) -> List[int]:
@@ -194,14 +194,14 @@ def cmat_to_ss(
             if mpc.pid == mpc.hub_pid:
                 coeff = ntt(m, ctx.basis, rows, inverse=True)
                 y = ctx.encoder.decode_big(np.asarray(coeff), nmod, enc_scale)
-                y_digits = jnp.asarray(ring.from_ints(y[:slots]))
+                y_digits = ring.from_ints(y[:slots])
                 my = ring.sub(y_digits, mu_digits)
             else:
                 my = ring.neg(mu_digits)
             shares_row.append(my)
-        row = jnp.concatenate(shares_row, axis=0)[:n_elem_row]
+        row = np.concatenate([np.asarray(s) for s in shares_row], axis=0)[:n_elem_row]
         out_rows.append(row)
-    return jnp.stack(out_rows)
+    return np.stack(out_rows)
 
 
 def cvec_to_ss(mpc, cps, cv, source_pid, n_elem):

@@ -42,6 +42,26 @@ DIGIT_BITS = 8
 DIGIT_MASK = (1 << DIGIT_BITS) - 1
 
 
+def aset(arr, idx, val):
+    """Functional indexed set that works for host numpy and jax arrays
+    (numpy: copy-on-write to preserve the .at[].set() semantics)."""
+    if isinstance(arr, jnp.ndarray):
+        return arr.at[idx].set(val)
+    out = np.array(arr)
+    out[idx] = np.asarray(val)
+    return out
+
+
+def aadd(arr, idx, val):
+    """Functional indexed add (scatter-add for repeated indices, matching
+    jax's .at[].add())."""
+    if isinstance(arr, jnp.ndarray):
+        return arr.at[idx].add(val)
+    out = np.array(arr)
+    np.add.at(out, idx, np.asarray(val))
+    return out
+
+
 def _jitmethod(fn):
     """jit with `self` (a hashable Ring) as a static argument."""
     return functools.partial(jax.jit, static_argnums=0)(fn)
@@ -56,6 +76,7 @@ class Ring:
     """Z_p (kind='prime') or Z_{2^bits} (kind='pow2') digit arithmetic."""
 
     has_limbs = True
+    host = True  # the SS protocol layer keeps ring tensors in host numpy
 
     def __init__(self, modulus: int, kind: str, name: str = ""):
         assert kind in ("prime", "pow2")
@@ -172,21 +193,108 @@ class Ring:
             self._cache[key] = jnp.asarray(self._int_to_digit_list(v), dtype=jnp.int32)
         return self._cache[key]
 
+    # -------------------------------------------------- execution dispatch
+    #
+    # Every elementwise/matmul op has a HOST (numpy int64) and a DEVICE
+    # (jax int32) implementation with identical semantics.  Host arrays in,
+    # host array out; any jax input routes to the jitted device path.  The
+    # SS protocol layer lives on the host (tiny round-lockstep tensors where
+    # per-op device dispatch costs orders of magnitude more than the digit
+    # arithmetic -- and on TPU every dispatch is a tunnel roundtrip); wide
+    # data-parallel protocol calls can stage jnp arrays to get the device
+    # path.
+
+    @staticmethod
+    def _on_host(*xs) -> bool:
+        return all(not isinstance(x, jnp.ndarray) for x in xs)
+
     # ---------------------------------------------------------------- device
 
-    def zeros(self, shape: Sequence[int]) -> jnp.ndarray:
-        return jnp.zeros(tuple(shape) + (self.nlimb,), dtype=jnp.int32)
+    def zeros(self, shape: Sequence[int]) -> np.ndarray:
+        return np.zeros(tuple(shape) + (self.nlimb,), dtype=np.int32)
 
-    def ones(self, shape: Sequence[int]) -> jnp.ndarray:
-        return jnp.broadcast_to(self.const(1), tuple(shape) + (self.nlimb,))
+    def ones(self, shape: Sequence[int]) -> np.ndarray:
+        return np.broadcast_to(
+            np.asarray(self._int_to_digit_list(1), np.int32),
+            tuple(shape) + (self.nlimb,),
+        )
 
-    def from_i32(self, vals) -> jnp.ndarray:
-        """Device: int32 array of small nonneg values -> canonical digits."""
+    def from_i32(self, vals):
+        """int32 array of small nonneg values -> canonical digits."""
+        if self._on_host(vals):
+            v = np.asarray(vals, dtype=np.int64)
+            x = np.stack(
+                [(v >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(4)], axis=-1
+            )
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, self.nlimb - 4)]
+            return self.np_reduce(np.pad(x, pad))
         v = jnp.asarray(vals, dtype=jnp.int32)
         digits = [(v >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(4)]
         x = jnp.stack(digits, axis=-1)
         pad = [(0, 0)] * (x.ndim - 1) + [(0, self.nlimb - 4)]
-        return self.reduce(jnp.pad(x, pad))
+        return self._reduce_dev(jnp.pad(x, pad))
+
+    # ------------------------------------------------------------ host path
+
+    def _np_exact_carry(self, x):
+        """Numpy exact carry over the digit axis (int64); returns
+        (digits in [0,255], carry_out)."""
+        carry = np.zeros(x.shape[:-1], dtype=np.int64)
+        out = np.empty_like(x)
+        for j in range(x.shape[-1]):
+            t = x[..., j] + carry
+            carry = t >> DIGIT_BITS
+            out[..., j] = t - (carry << DIGIT_BITS)
+        return out, carry
+
+    def np_reduce(self, x) -> np.ndarray:
+        """Host mirror of reduce(): any signed digit array -> canonical."""
+        x = np.asarray(x, dtype=np.int64)
+        L = self.nlimb
+        if x.shape[-1] < L:
+            x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, L - x.shape[-1])])
+        x, c_out = self._np_exact_carry(x)
+        if x.shape[-1] > L:
+            lo, hi = x[..., :L], x[..., L:]
+            nh = hi.shape[-1]
+            assert nh < L, "input too wide; reduce in chunks"
+            if self.kind == "prime":
+                contrib = np.pad(
+                    hi * self.fold_c, [(0, 0)] * (x.ndim - 1) + [(0, L - nh)]
+                )
+                x = lo + contrib
+                x[..., nh] += c_out * self.fold_c
+            else:
+                x = lo.copy()
+        else:
+            x = x.copy()
+            if self.kind == "prime":
+                x[..., 0] += c_out * self.fold_c
+        for _ in range(2):
+            x, c_out = self._np_exact_carry(x)
+            if self.kind == "prime":
+                x[..., 0] += c_out * self.fold_c
+        x, _ = self._np_exact_carry(x)
+        if self.kind == "prime":
+            p = np.array(self._p_digits, dtype=np.int64)
+            for _ in range((1 << (DIGIT_BITS * L)) // self.modulus):
+                y = x - p
+                y, borrow = self._np_exact_carry(y)
+                x = np.where((borrow == 0)[..., None], y, x)
+        else:
+            x[..., -1] &= self.top_mask
+        return x.astype(np.int32)
+
+    def _np_conv(self, a, b) -> np.ndarray:
+        """Digit convolution of canonical arrays -> [..., 2L-1] int64."""
+        L = self.nlimb
+        shape = np.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        a = np.broadcast_to(a, shape + (L,)).astype(np.int64)
+        b = np.broadcast_to(b, shape + (L,)).astype(np.int64)
+        conv = np.zeros(shape + (2 * L - 1,), dtype=np.int64)
+        for i in range(L):
+            conv[..., i : i + L] += a[..., i : i + 1] * b
+        return conv
 
     def _exact_carry(self, x):
         """Sequential exact carry over the digit axis; returns (digits, carry_out).
@@ -203,8 +311,13 @@ class Ring:
         carry_out, ys = jax.lax.scan(step, jnp.zeros(x.shape[:-1], jnp.int32), xs)
         return jnp.moveaxis(ys, 0, -1), carry_out
 
-    @_jitmethod
     def reduce(self, x):
+        if self._on_host(x):
+            return self.np_reduce(x)
+        return self._reduce_dev(x)
+
+    @_jitmethod
+    def _reduce_dev(self, x):
         """Reduce any signed digit array (any digit count >= 1; |digit| and
         all scan intermediates must fit int32) to canonical form in
         [0, modulus).
@@ -258,20 +371,40 @@ class Ring:
         ge = borrow == 0  # no final borrow => x >= p
         return jnp.where(ge[..., None], y, x)
 
-    @_jitmethod
     def add(self, a, b):
+        if self._on_host(a, b):
+            return self.np_reduce(np.asarray(a, np.int64) + b)
+        return self._add_dev(a, b)
+
+    @_jitmethod
+    def _add_dev(self, a, b):
         return self.reduce(a + b)
 
-    @_jitmethod
     def sub(self, a, b):
+        if self._on_host(a, b):
+            return self.np_reduce(np.asarray(a, np.int64) - b)
+        return self._sub_dev(a, b)
+
+    @_jitmethod
+    def _sub_dev(self, a, b):
         return self.reduce(a - b)
 
-    @_jitmethod
     def neg(self, a):
-        return self.reduce(-a)
+        if self._on_host(a):
+            return self.np_reduce(-np.asarray(a, np.int64))
+        return self._neg_dev(a)
 
     @_jitmethod
+    def _neg_dev(self, a):
+        return self.reduce(-a)
+
     def mul(self, a, b):
+        if self._on_host(a, b):
+            return self.np_reduce(self._np_conv(np.asarray(a), np.asarray(b)))
+        return self._mul_dev(a, b)
+
+    @_jitmethod
+    def _mul_dev(self, a, b):
         """Elementwise product of canonical digit arrays.
 
         Digit convolution out[d] = sum_{i+j=d} a_i*b_j (|.| < 2^21) as one
@@ -289,21 +422,51 @@ class Ring:
         out = jnp.einsum("...j,...jd->...d", a, Bm)
         return self.reduce(out)
 
-    @_jitmethod
     def mul_const(self, a, c_digits):
+        if self._on_host(a, c_digits):
+            return self.mul(a, np.broadcast_to(np.asarray(c_digits), a.shape))
+        return self._mul_const_dev(a, c_digits)
+
+    @_jitmethod
+    def _mul_const_dev(self, a, c_digits):
         return self.mul(a, jnp.broadcast_to(c_digits, a.shape))
 
     def mul_int(self, a, v: int):
         """Multiply by a python int constant (fast path for small |v|)."""
         v = int(v)
-        if 0 <= v < (1 << 9):
+        if -(1 << 9) < v < (1 << 9):
+            if self._on_host(a):
+                return self.np_reduce(np.asarray(a, np.int64) * v)
             return self.reduce(a * v)
-        if -(1 << 9) < v < 0:
-            return self.reduce(a * v)
-        return self.mul(a, self.const(v))
+        return self.mul(a, self.const_np(v) if self._on_host(a) else self.const(v))
+
+    def matmul(self, A, B):
+        if self._on_host(A, B):
+            return self._np_matmul(np.asarray(A), np.asarray(B))
+        return self._matmul_dev(A, B)
+
+    def _np_matmul(self, A, B) -> np.ndarray:
+        """Host [r, k, L] x [k, c, L] -> [r, c, L]; k chunked like the
+        device path so digit-pair sums stay within the reduce headroom."""
+        L = self.nlimb
+        r, k, _ = A.shape
+        k2, c, _ = B.shape
+        assert k == k2
+        max_k = 896
+        out = None
+        for k0 in range(0, k, max_k):
+            Ak = A[:, k0 : k0 + max_k, :].astype(np.int64)
+            Bk = B[k0 : k0 + max_k, :, :].astype(np.int64)
+            M = np.einsum("ika,kjb->ijab", Ak, Bk)  # [r, c, L, L]
+            conv = np.zeros((r, c, 2 * L - 1), dtype=np.int64)
+            for i in range(L):
+                conv[:, :, i : i + L] += M[:, :, i, :]
+            part = self.np_reduce(conv)
+            out = part if out is None else self.add(out, part)
+        return out
 
     @_jitmethod
-    def matmul(self, A, B):
+    def _matmul_dev(self, A, B):
         """[r, k, L] x [k, c, L] -> [r, c, L] modular matrix product."""
         L = self.nlimb
         r, k, _ = A.shape
@@ -330,33 +493,48 @@ class Ring:
             out = part if out is None else self.add(out, part)
         return out
 
-    @_jitmethod2
     def sum(self, a, axis: int = 0):
         """Sum of canonical elements along a batch axis."""
         n = a.shape[axis]
         # canonical digits <= 255; summing n of them needs n * 255 < 2^31
         assert n < (1 << 22)
+        if self._on_host(a):
+            return self.np_reduce(np.sum(np.asarray(a, np.int64), axis=axis))
+        return self._sum_dev(a, axis)
+
+    @_jitmethod2
+    def _sum_dev(self, a, axis: int = 0):
         return self.reduce(jnp.sum(a, axis=axis))
 
     # -------------------------------------------------------------- bit ops
 
-    @_jitmethod2
     def get_bit(self, a, bit_index: int):
         """Bit of the canonical value (int32 0/1)."""
         d = bit_index // DIGIT_BITS
         r = bit_index % DIGIT_BITS
         return (a[..., d] >> r) & 1
 
-    @_jitmethod2
     def bits_msb_first(self, a, nbits: int):
         """[..., nbits] bits of the canonical value, MSB first
         (matches reference numToBits, mpc/mpc.go:566)."""
+        xp = np if self._on_host(a) else jnp
         outs = [self.get_bit(a, nbits - 1 - j) for j in range(nbits)]
-        return jnp.stack(outs, axis=-1)
+        return xp.stack(outs, axis=-1)
 
-    @_jitmethod2
     def trunc_low(self, a, m: int):
         """Keep the low m bits of the canonical value (RVec.Trunc)."""
+        if self._on_host(a):
+            d, r = m // DIGIT_BITS, m % DIGIT_BITS
+            L = self.nlimb
+            out = np.asarray(a).copy()
+            out[..., d + (1 if r > 0 else 0):] = 0
+            if r > 0 and d < L:
+                out[..., d] &= (1 << r) - 1
+            return out
+        return self._trunc_low_dev(a, m)
+
+    @_jitmethod2
+    def _trunc_low_dev(self, a, m: int):
         d, r = m // DIGIT_BITS, m % DIGIT_BITS
         L = self.nlimb
         idx = jnp.arange(L)
@@ -367,8 +545,21 @@ class Ring:
             out = out.at[..., d].set(a[..., d] & part_mask)
         return out
 
+    def const_np(self, v: int) -> np.ndarray:
+        """Cached host digits for a python int constant."""
+        v = int(v) % self.modulus
+        key = ("const_np", v)
+        if key not in self._cache:
+            self._cache[key] = np.asarray(self._int_to_digit_list(v), dtype=np.int32)
+        return self._cache[key]
+
     def pow2_digits(self, e: int) -> jnp.ndarray:
         return self.const(pow(2, e, self.modulus))
+
+    def inv_pow2_np(self, m: int) -> np.ndarray:
+        """Host digits of 2^{-m} mod p (prime only)."""
+        assert self.kind == "prime"
+        return self.const_np(pow((self.modulus + 1) // 2, m, self.modulus))
 
     def inv_pow2_digits(self, m: int) -> jnp.ndarray:
         """Digits of 2^{-m} mod p (prime only); cached like invPowCache."""
@@ -489,9 +680,11 @@ class SmallField:
     """Small prime field for bit-share protocols (SElemDS/SElemC analogue).
 
     p = 46337 is the largest prime with p^2 < 2^31, so products of canonical
-    elements fit int32 and we reduce after every multiply."""
+    elements fit int32 and we reduce after every multiply.  Host numpy, like
+    GF2Ring: tiny round-lockstep tensors."""
 
     has_limbs = False
+    host = True
 
     def __init__(self, p: int = 46337):
         self.modulus = p
@@ -503,26 +696,24 @@ class SmallField:
         return isinstance(other, SmallField) and other.modulus == self.modulus
 
     def zeros(self, shape):
-        return jnp.zeros(shape, dtype=jnp.int32)
+        return np.zeros(shape, dtype=np.int32)
 
     def add(self, a, b):
-        return (a + b) % self.modulus
+        return (np.asarray(a) + np.asarray(b)) % self.modulus
 
     def sub(self, a, b):
-        return (a - b) % self.modulus
+        return (np.asarray(a) - np.asarray(b)) % self.modulus
 
     def neg(self, a):
-        return (-a) % self.modulus
+        return (-np.asarray(a)) % self.modulus
 
     def mul(self, a, b):
-        return (a * b) % self.modulus
+        return (np.asarray(a) * np.asarray(b)) % self.modulus
 
     def matmul(self, A, B):
-        """Accumulate with a mod after each rank-1 update (int32-safe)."""
-        out = jnp.zeros((A.shape[0], B.shape[1]), dtype=jnp.int32)
-        for k in range(A.shape[1]):
-            out = (out + A[:, k : k + 1] * B[k : k + 1, :]) % self.modulus
-        return out
+        """int64 accumulate then one mod (n * p^2 fits int64)."""
+        out = np.asarray(A, np.int64) @ np.asarray(B, np.int64)
+        return (out % self.modulus).astype(np.int32)
 
     def inv_int(self, v: int) -> int:
         return pow(int(v) % self.modulus, -1, self.modulus)

@@ -8,17 +8,15 @@ over TCP for real multi-host deployments.
 
 from __future__ import annotations
 
-import sys
 import threading
 import traceback
 from typing import Callable, List, Optional
 
-# Protocol rounds block on queue wakeups; with the default 5 ms GIL switch
-# interval a GIL-busy party delays every other party's wakeup by ~2 quanta
-# (measured 9.5 ms/roundtrip -> 1.5 ms at 0.2 ms).  Local-sim is latency-
-# bound on exactly these wakeups, so shorten the quantum process-wide.
-if sys.getswitchinterval() > 0.0002:
-    sys.setswitchinterval(0.0002)
+# NOTE: we used to shorten the GIL switch interval here (0.2 ms) to cut
+# queue-wakeup latency between party threads.  With the host-numpy SS
+# engine the protocol math itself holds the GIL in many small numpy ops,
+# and the short quantum thrashes instead (measured: 186 s vs 140 s on the
+# TEST8 linear e2e) -- so the default interval stands.
 
 from ..ops import ring as R
 from ..mpc.mpc import MPC

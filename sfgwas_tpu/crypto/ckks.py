@@ -79,6 +79,20 @@ class KSwitchKey:
 GALOIS_CONJ = -1  # sentinel for complex conjugation
 
 
+def _ctxjit(*static_extra):
+    """jit with `self` (a CkksContext, hashed by identity) static, plus the
+    given extra static argnums.  Fuses each compound CKKS op (rescale,
+    modup/moddown, keyswitch, rotation) into ONE compiled kernel -- the
+    unfused versions issued hundreds of small dispatches per op, which
+    dominated protocol wall-clock (and on TPU each dispatch is a host
+    roundtrip)."""
+
+    def deco(fn):
+        return functools.partial(jax.jit, static_argnums=(0,) + static_extra)(fn)
+
+    return deco
+
+
 class CkksContext:
     def __init__(self, params: CkksParams):
         self.params = params
@@ -304,29 +318,38 @@ class CkksContext:
 
     def mul_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
         nmod = min(a.nmod, pt.nmod)
+        c0, c1 = self._mul_pair(a.c0[:nmod], a.c1[:nmod], pt.poly[:nmod], nmod)
+        return Ciphertext(c0, c1, nmod, a.scale * pt.scale)
+
+    @_ctxjit(4)
+    def _mul_pair(self, c0, c1, p, nmod: int):
         t = _sel(self.basis, tuple(range(nmod)))
-        p = pt.poly[:nmod]
-        return Ciphertext(
-            mul_mod_barrett(a.c0[:nmod], p, t["q"], t["mu"]),
-            mul_mod_barrett(a.c1[:nmod], p, t["q"], t["mu"]),
-            nmod,
-            a.scale * pt.scale,
+        return (
+            mul_mod_barrett(c0, p, t["q"], t["mu"]),
+            mul_mod_barrett(c1, p, t["q"], t["mu"]),
         )
 
     def mul_relin(self, a: Ciphertext, b: Ciphertext, rlk: KSwitchKey) -> Ciphertext:
         a, b, rows = self._match(a, b)
-        t = _sel(self.basis, rows)
-        d0 = mul_mod_barrett(a.c0, b.c0, t["q"], t["mu"])
+        c0, c1 = self._mul_relin_core(
+            a.c0, a.c1, b.c0, b.c1, rlk.d0, rlk.d1, a.nmod
+        )
+        return Ciphertext(c0, c1, a.nmod, a.scale * b.scale)
+
+    @_ctxjit(7)
+    def _mul_relin_core(self, ac0, ac1, bc0, bc1, kd0, kd1, nmod: int):
+        t = _sel(self.basis, tuple(range(nmod)))
+        d0 = mul_mod_barrett(ac0, bc0, t["q"], t["mu"])
         d1 = add_mod(
-            mul_mod_barrett(a.c0, b.c1, t["q"], t["mu"]),
-            mul_mod_barrett(a.c1, b.c0, t["q"], t["mu"]),
+            mul_mod_barrett(ac0, bc1, t["q"], t["mu"]),
+            mul_mod_barrett(ac1, bc0, t["q"], t["mu"]),
             t["q"],
         )
-        d2 = mul_mod_barrett(a.c1, b.c1, t["q"], t["mu"])
-        k0, k1 = self.keyswitch_core(d2, rlk, a.nmod)
-        return Ciphertext(
-            add_mod(d0, k0, t["q"]), add_mod(d1, k1, t["q"]), a.nmod, a.scale * b.scale
+        d2 = mul_mod_barrett(ac1, bc1, t["q"], t["mu"])
+        k0, k1 = self._keyswitch_decomposed_arr(
+            self.decompose_ntt(d2, nmod), kd0, kd1, nmod
         )
+        return add_mod(d0, k0, t["q"]), add_mod(d1, k1, t["q"])
 
     # ------------------------------------------------------------ rescale
 
@@ -338,54 +361,115 @@ class CkksContext:
             f"(base={self.params.base_nmod}); bootstrap first"
         )
         src = nmod - 1
-        dst = tuple(range(src))
-        c0 = self._rescale_poly(ct.c0, src, dst)
-        c1 = self._rescale_poly(ct.c1, src, dst)
+        c0, c1 = self._rescale_pair(ct.c0, ct.c1, src)
         return Ciphertext(c0, c1, src, ct.scale / self.basis.primes[src])
 
     def rescale(self, ct: Ciphertext) -> Ciphertext:
-        """One logical level = two primes (scale ~2^50)."""
-        return self.rescale_one(self.rescale_one(ct))
+        """One logical level = two primes (scale ~2^50); both prime drops
+        and both components fused in one kernel."""
+        nmod = ct.nmod
+        assert nmod - 1 > self.params.base_nmod, (
+            f"level underflow: rescale at nmod={nmod} "
+            f"(base={self.params.base_nmod}); bootstrap first"
+        )
+        c0, c1 = self._rescale2_pair(ct.c0, ct.c1, nmod - 1)
+        return Ciphertext(
+            c0,
+            c1,
+            nmod - 2,
+            ct.scale / self.basis.primes[nmod - 1] / self.basis.primes[nmod - 2],
+        )
+
+    @_ctxjit(3)
+    def _rescale_pair(self, c0, c1, src: int):
+        c = jnp.stack([c0, c1])  # [2, src+1, N]
+        out = self._rescale_poly_b(c, src)
+        return out[0], out[1]
+
+    @_ctxjit(3)
+    def _rescale2_pair(self, c0, c1, src: int):
+        c = jnp.stack([c0, c1])
+        c = self._rescale_poly_b(c, src)
+        c = self._rescale_poly_b(c, src - 1)
+        return c[0], c[1]
+
+    def _rescale_poly_b(self, c, src: int):
+        """c: [B, src+1, N] NTT -> [B, src, N] divided by q_src (traced)."""
+        dst = tuple(range(src))
+        top = ntt_b(c[:, src][None], self.basis, (src,), True)[0]  # [B, N]
+        ext = self._extend(top, src, dst)  # [len(dst), B, N] coeff
+        ext = jnp.swapaxes(ntt_b(ext, self.basis, dst), 0, 1)  # [B, dst, N]
+        t = _sel(self.basis, dst)
+        diff = sub_mod(c[:, : len(dst)], ext, t["q"])
+        qinv, qinv_s = self._rescale_tables(src, dst)
+        return mul_mod_shoup(diff, qinv, qinv_s, t["q"])
 
     def _rescale_poly(self, c, src: int, dst: Tuple[int, ...]):
-        top = ntt(c[src : src + 1], self.basis, (src,), inverse=True)
-        ext = self._extend(top[0], src, dst)  # [len(dst), N] coeff
-        ext = ntt(ext, self.basis, dst)
-        t = _sel(self.basis, dst)
-        diff = sub_mod(c[: len(dst)], ext, t["q"])
-        qinv = jnp.asarray(
-            np.array([self._qinv[src, d] for d in dst], dtype=np.uint32)
-        )[:, None]
-        qinv_s = jnp.asarray(
-            np.array(
+        assert dst == tuple(range(src))
+        return self._rescale_poly_b(c[None], src)[0]
+
+    def _rescale_tables(self, src: int, dst: Tuple[int, ...]):
+        key = ("rsc", src, tuple(dst))
+        if key not in self._const_cache:
+            qinv = np.array([self._qinv[src, d] for d in dst], dtype=np.uint32)
+            qinv_s = np.array(
                 [
                     (int(self._qinv[src, d]) << 32) // self.basis.primes[d]
                     for d in dst
                 ],
                 dtype=np.uint32,
             )
-        )[:, None]
-        return mul_mod_shoup(diff, qinv, qinv_s, t["q"])
+            self._const_cache[key] = (qinv[:, None], qinv_s[:, None])
+        return self._const_cache[key]
+
+    def _ext_tables(self, srcs: Tuple[int, ...], dst: Tuple[int, ...]):
+        """Host tables for centered base extension srcs -> dst."""
+        key = ("ext", tuple(srcs), tuple(dst))
+        if key not in self._const_cache:
+            qs = np.array([self.basis.primes[s] for s in srcs], np.uint64)
+            qd = np.array([self.basis.primes[d] for d in dst], np.uint64)
+            self._const_cache[key] = (
+                (qs // 2).astype(np.uint32),  # [S]
+                qd.astype(np.uint32),  # [D]
+                (qs[:, None] % qd[None, :]).astype(np.uint32),  # [S, D]
+            )
+        return self._const_cache[key]
 
     def _extend(self, v, src: int, dst: Tuple[int, ...]):
         """Centered base extension of coeff-domain residues v (prime src)
-        to the dst primes.  [N] -> [len(dst), N]."""
-        q_s = self.basis.primes[src]
-        half = q_s // 2
-        sign = v > jnp.uint32(half)
-        outs = []
-        for d in dst:
-            q_d = jnp.uint32(self.basis.primes[d])
-            r = v
-            r = jnp.where(r >= q_d, r - q_d, r)
-            r = jnp.where(r >= q_d, r - q_d, r)
-            corr = jnp.uint32(q_s % self.basis.primes[d])
-            r_neg = jnp.where(r >= corr, r - corr, r + q_d - corr)
-            outs.append(jnp.where(sign, r_neg, r))
-        return jnp.stack(outs)
+        to the dst primes.  [..., N] -> [len(dst), ..., N]."""
+        half, qd, corr = self._ext_tables((src,), dst)
+        D = len(dst)
+        ex = (1,) * (v.ndim - 1)
+        qdv = qd.reshape((D,) + ex + (1,))
+        corrv = corr[0].reshape((D,) + ex + (1,))
+        sign = v > jnp.uint32(int(half[0]))
+        r = jnp.broadcast_to(v[None], (D,) + v.shape)
+        r = jnp.where(r >= qdv, r - qdv, r)
+        r = jnp.where(r >= qdv, r - qdv, r)
+        r_neg = jnp.where(r >= corrv, r - corrv, r + qdv - corrv)
+        return jnp.where(sign[None], r_neg, r)
+
+    def _extend_multi(self, v, srcs: Tuple[int, ...], dst: Tuple[int, ...]):
+        """Per-row centered base extension: v [S, ..., N] with source prime
+        srcs[i] for row i -> [S, len(dst), ..., N].  One fused op replacing
+        the per-source loop in the keyswitch ModUp."""
+        half, qd, corr = self._ext_tables(srcs, dst)
+        S, D = len(srcs), len(dst)
+        ex = (1,) * (v.ndim - 2)
+        qdv = qd.reshape((1, D) + ex + (1,))
+        corrv = corr.reshape((S, D) + ex + (1,))
+        halfv = half.reshape((S,) + ex + (1,))
+        sign = v > halfv  # [S, ..., N]
+        r = jnp.broadcast_to(v[:, None], (S, D) + v.shape[1:])
+        r = jnp.where(r >= qdv, r - qdv, r)
+        r = jnp.where(r >= qdv, r - qdv, r)
+        r_neg = jnp.where(r >= corrv, r - corrv, r + qdv - corrv)
+        return jnp.where(sign[:, None], r_neg, r)
 
     # ---------------------------------------------------------- keyswitch
 
+    @_ctxjit(2)
     def decompose_ntt(self, d, nmod: int):
         """ModUp: NTT poly d [nmod, N] -> per-digit extensions
         [nmod, nmod+1, N] over (active primes + special), NTT domain.
@@ -393,20 +477,21 @@ class CkksContext:
         it across many Galois elements."""
         ext_rows = tuple(range(nmod)) + (self.sp_row,)
         d_coeff = ntt(d, self.basis, tuple(range(nmod)), inverse=True)
-        exts = []
-        for j in range(nmod):
-            exts.append(self._extend(d_coeff[j], j, ext_rows))
-        ext = jnp.stack(exts)  # [nmod, nmod+1, N] coeff domain
+        ext = self._extend_multi(d_coeff, tuple(range(nmod)), ext_rows)
         flat_rows = ext_rows * nmod
         return ntt(
             ext.reshape(nmod * len(ext_rows), self.n), self.basis, flat_rows
         ).reshape(nmod, len(ext_rows), self.n)
 
     def keyswitch_decomposed(self, ext_ntt, ksk: KSwitchKey, nmod: int):
+        return self._keyswitch_decomposed_arr(ext_ntt, ksk.d0, ksk.d1, nmod)
+
+    @_ctxjit(4)
+    def _keyswitch_decomposed_arr(self, ext_ntt, d0, d1, nmod: int):
         ext_rows = tuple(range(nmod)) + (self.sp_row,)
         idx = jnp.asarray(ext_rows)
-        k0 = ksk.d0[:nmod][:, idx, :]
-        k1 = ksk.d1[:nmod][:, idx, :]
+        k0 = d0[:nmod][:, idx, :]
+        k1 = d1[:nmod][:, idx, :]
         t = _sel(self.basis, ext_rows)
         p0 = mul_mod_barrett(ext_ntt, k0, t["q"][None], t["mu"][None])
         p1 = mul_mod_barrett(ext_ntt, k1, t["q"][None], t["mu"][None])
@@ -418,7 +503,13 @@ class CkksContext:
     def keyswitch_core(self, d, ksk: KSwitchKey, nmod: int):
         """Switch NTT-domain poly d [nmod, N] (a c1-part under s_src) to the
         target key; returns (k0, k1) each [nmod, N] mod the active primes."""
-        return self.keyswitch_decomposed(self.decompose_ntt(d, nmod), ksk, nmod)
+        return self._keyswitch_core_arr(d, ksk.d0, ksk.d1, nmod)
+
+    @_ctxjit(4)
+    def _keyswitch_core_arr(self, d, d0, d1, nmod: int):
+        return self._keyswitch_decomposed_arr(
+            self.decompose_ntt(d, nmod), d0, d1, nmod
+        )
 
     # ------------------------------------------------- batched keyswitching
     #
@@ -429,6 +520,7 @@ class CkksContext:
     # replace the reference's per-rotation evaluator calls
     # (gwas/matmult.go:853-881) with [B, ...] tensor ops.
 
+    @_ctxjit(2)
     def decompose_ntt_b(self, d, nmod: int):
         """Batched ModUp: d [B, nmod, N] NTT-domain -> [B, nmod, next, N]."""
         ext_rows = tuple(range(nmod)) + (self.sp_row,)
@@ -437,13 +529,15 @@ class CkksContext:
         d_coeff = rns.ntt_b(
             jnp.swapaxes(d, 0, 1), self.basis, tuple(range(nmod)), True
         )  # [nmod, B, N]
-        exts = [self._extend(d_coeff[j], j, ext_rows) for j in range(nmod)]
-        ext = jnp.stack(exts)  # [nmod, next, B, N] coeff domain
+        ext = self._extend_multi(
+            d_coeff, tuple(range(nmod)), ext_rows
+        )  # [nmod, next, B, N] coeff domain
         ext = rns.ntt_b(
             ext.reshape(nmod * next_, bsz, self.n), self.basis, ext_rows * nmod
         ).reshape(nmod, next_, bsz, self.n)
         return jnp.transpose(ext, (2, 0, 1, 3))
 
+    @_ctxjit(4)
     def keyswitch_decomposed_b(self, ext, k0, k1, nmod: int):
         """ext/k0/k1: [B, nmod, next, N] -> (p0, p1) each [B, nmod(active), N]
         after the external product, digit-sum and ModDown."""
@@ -457,6 +551,7 @@ class CkksContext:
         acc1 = self._reduce_u32(jnp.sum(p1, axis=1, dtype=jnp.uint32), ext_rows)
         return self._moddown_b(acc0, nmod), self._moddown_b(acc1, nmod)
 
+    @_ctxjit(2)
     def _moddown_b(self, x, nmod: int):
         """x: [B, nmod+1, N] over active+special (NTT) -> [B, nmod, N]."""
         dst = tuple(range(nmod))
@@ -474,8 +569,13 @@ class CkksContext:
         """Rotate B stacked ciphertexts ([B, nmod, N] components), each by
         its own Galois element gs[b] with stacked keys k0s/k1s
         [B, nmod, next, N].  Returns (r0, r1) [B, nmod, N]."""
+        return self._rotate_batch_core(
+            c0s, c1s, self.perms_for(gs), k0s, k1s, nmod
+        )
+
+    @_ctxjit(6)
+    def _rotate_batch_core(self, c0s, c1s, perms, k0s, k1s, nmod: int):
         t = _sel(self.basis, tuple(range(nmod)))
-        perms = self.perms_for(gs)
         ext = self.decompose_ntt_b(c1s, nmod)
         ext_g = jnp.take_along_axis(ext, perms[:, None, None, :], axis=-1)
         c0g = jnp.take_along_axis(c0s, perms[:, None, :], axis=-1)
@@ -489,17 +589,13 @@ class CkksContext:
         `shifts` with zeros removed).  Returns (R0, R1) [len(shifts), nmod, N]
         where zero shifts hold the input ciphertext."""
         nmod = ct.nmod
-        t = _sel(self.basis, tuple(range(nmod)))
         nz = [k % self.params.slots for k in shifts]
         gs = [self.galois_for_rotation(k) for k in nz if k != 0]
         if not gs:
             return ct.c0[None], ct.c1[None]
-        perms = self.perms_for(gs)
-        ext = self.decompose_ntt(ct.c1, nmod)
-        ext_g = jnp.take_along_axis(ext[None], perms[:, None, None, :], axis=-1)
-        c0g = jnp.take_along_axis(ct.c0[None], perms[:, None, :], axis=-1)
-        k0, k1 = self.keyswitch_decomposed_b(ext_g, k0s, k1s, nmod)
-        r0 = add_mod(c0g, k0, t["q"])
+        r0, k1 = self._hoisted_core(
+            ct.c0, ct.c1, self.perms_for(gs), k0s, k1s, nmod
+        )
         if all(k != 0 for k in nz):
             return r0, k1
         # interleave the zero-shift rows back in
@@ -513,6 +609,15 @@ class CkksContext:
                 out1.append(k1[j])
                 j += 1
         return jnp.stack(out0), jnp.stack(out1)
+
+    @_ctxjit(6)
+    def _hoisted_core(self, c0, c1, perms, k0s, k1s, nmod: int):
+        t = _sel(self.basis, tuple(range(nmod)))
+        ext = self.decompose_ntt(c1, nmod)
+        ext_g = jnp.take_along_axis(ext[None], perms[:, None, None, :], axis=-1)
+        c0g = jnp.take_along_axis(c0[None], perms[:, None, :], axis=-1)
+        k0, k1 = self.keyswitch_decomposed_b(ext_g, k0s, k1s, nmod)
+        return add_mod(c0g, k0, t["q"]), k1
 
     def hoisted_rotations(self, ct: Ciphertext, shifts, rot_keys):
         """Rotate one ciphertext by many shifts, decomposing c1 only once
@@ -545,6 +650,7 @@ class CkksContext:
         r = jnp.where(r >= q, r - q, r)
         return jnp.where(r >= q, r - q, r)
 
+    @_ctxjit(2)
     def _moddown(self, x, nmod: int):
         """x: [nmod+1, N] over active+special (NTT) -> [nmod, N] = x/P."""
         dst = tuple(range(nmod))
@@ -623,12 +729,18 @@ class CkksContext:
         return self.apply_galois(ct, g, rot_keys[g])
 
     def apply_galois(self, ct: Ciphertext, g: int, key: KSwitchKey) -> Ciphertext:
-        rows = tuple(range(ct.nmod))
-        t = _sel(self.basis, rows)
-        c0g = self.automorphism(ct.c0, g)
-        c1g = self.automorphism(ct.c1, g)
-        k0, k1 = self.keyswitch_core(c1g, key, ct.nmod)
-        return Ciphertext(add_mod(c0g, k0, t["q"]), k1, ct.nmod, ct.scale)
+        c0, c1 = self._apply_galois_core(
+            ct.c0, ct.c1, self._perm_for(g), key.d0, key.d1, ct.nmod
+        )
+        return Ciphertext(c0, c1, ct.nmod, ct.scale)
+
+    @_ctxjit(6)
+    def _apply_galois_core(self, c0, c1, perm, kd0, kd1, nmod: int):
+        t = _sel(self.basis, tuple(range(nmod)))
+        c0g = c0[..., perm]
+        c1g = c1[..., perm]
+        k0, k1 = self._keyswitch_core_arr(c1g, kd0, kd1, nmod)
+        return add_mod(c0g, k0, t["q"]), k1
 
     # ------------------------------------------------------------- consts
 
@@ -646,11 +758,8 @@ class CkksContext:
         """Multiply by a scalar constant encoded at `scale` (default: the
         level-pair scale); caller rescales."""
         sc = scale or self.params.scale
-        rows = tuple(range(ct.nmod))
-        t = _sel(self.basis, rows)
         res = self.const_poly(value, ct.nmod, sc)
-        c0 = mul_mod_barrett(ct.c0, res, t["q"], t["mu"])
-        c1 = mul_mod_barrett(ct.c1, res, t["q"], t["mu"])
+        c0, c1 = self._mul_pair(ct.c0, ct.c1, res, ct.nmod)
         return Ciphertext(c0, c1, ct.nmod, ct.scale * sc)
 
     def mul_const_to(self, ct: Ciphertext, value: float, target: float):
@@ -666,18 +775,11 @@ class CkksContext:
 
     def mul_const_int(self, ct: Ciphertext, value: int):
         """Multiply by a small integer without scale change."""
-        rows = tuple(range(ct.nmod))
-        t = _sel(self.basis, rows)
         res = np.array(
             [value % self.basis.primes[i] for i in range(ct.nmod)], dtype=np.uint64
         ).astype(np.uint32)
-        res = jnp.asarray(res)[:, None]
-        return Ciphertext(
-            mul_mod_barrett(ct.c0, res, t["q"], t["mu"]),
-            mul_mod_barrett(ct.c1, res, t["q"], t["mu"]),
-            ct.nmod,
-            ct.scale,
-        )
+        c0, c1 = self._mul_pair(ct.c0, ct.c1, jnp.asarray(res)[:, None], ct.nmod)
+        return Ciphertext(c0, c1, ct.nmod, ct.scale)
 
     def add_const(self, ct: Ciphertext, value: float) -> Ciphertext:
         rows = tuple(range(ct.nmod))

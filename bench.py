@@ -1,15 +1,15 @@
-"""Benchmark: the encrypted-matmult inner kernel on the real TPU chip.
+"""Benchmark: the PRODUCTION encrypted matmult path on the real TPU chip.
 
-Headline metric: modular coefficient multiply-accumulate throughput of the
-BSGS cipher x plaintext accumulation loop (NTT-domain Barrett products +
-lazy-sum reduction) -- the direct analogue of the reference's hot loop
-(MulCoeffsAndAdd128, gwas/matmult.go:247-324).
+Headline metric: modular multiply-accumulate throughput of
+`gwas.matmult.mat_mult_cached` — the exact code path phase 2/3 executes
+(hoisted baby rotations + fused Barrett-MAC chunks + batched giant-step
+keyswitch) — on a PN14QP438-shaped workload: an 8-column encrypted Q
+(1000 individuals) times a 1000 x 4546 int8 genotype block, the reference
+example_data per-chromosome shape (config/configGlobal.toml:19-21).
 
-Baseline: the same operation's CPU-host throughput measured with numpy
-uint64 lazy MACs, standing in for the reference's 8-way-unrolled Go uint128
-kernel (the Go toolchain + module cache are unavailable in this image; numpy
-vectorized uint64 is, if anything, a *generous* stand-in for the Go loop --
-see BASELINE.md).
+Baseline: the reference-equivalent lazy-accumulate MAC loop on the host CPU
+with numpy uint64 vectorized arithmetic (standing in for the Go uint128
+kernel, gwas/matmult.go:247-324; Go toolchain unavailable — BASELINE.md).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -20,91 +20,102 @@ import time
 import numpy as np
 
 
-def tpu_mac_throughput():
+def production_matmult_throughput():
     import jax
-    import jax.numpy as jnp
 
-    from sfgwas_tpu.ops import rns
+    from sfgwas_tpu.crypto import basics as B
+    from sfgwas_tpu.crypto import ckks as C
+    from sfgwas_tpu.crypto.params import get_params
+    from sfgwas_tpu.gwas import matmult as MM
+    from sfgwas_tpu.mpc.mhe import CryptoParams
 
-    logn, nmod, K = 14, 17, 91  # PN14-equivalent level count, one giant group
-    primes = rns.gen_primes(nmod, logn, 25)
-    basis = rns.RnsBasis(primes, logn)
-    n = 1 << logn
-    rows = tuple(range(nmod))
-    t = rns._sel(basis, rows)
+    params = get_params("PN14QP438")
+    ctx = C.CkksContext(params)
     rng = np.random.default_rng(0)
+    sk = ctx.gen_secret_key(rng)
+    pk = ctx.gen_public_key(sk, rng)
+    cps = CryptoParams(ctx, sk, pk, None, {}, rng)
 
-    def rand(shape):
-        out = np.zeros(shape + (n,), dtype=np.uint32)
-        flat = out.reshape(-1, n)
-        for i in range(flat.shape[0]):
-            flat[i] = rng.integers(0, primes[i % nmod], size=n, dtype=np.int64)
-        return out
+    # genotype block: one chromosome of the reference example workload
+    n_ind, n_snp = 1000, 4546
+    geno = rng.integers(0, 3, size=(n_ind, n_snp), dtype=np.int8)
+    nmod = MM.mm_nmod(cps)
+    cache = MM.preprocess_matrix(cps, geno, nmod)
 
-    a = jnp.asarray(rand((2, nmod)))  # ciphertext (c0, c1)
-    diags = jnp.asarray(rand((K, nmod)))
-    q = jnp.asarray(t["q"])
-    mu = jnp.asarray(t["mu"])
-    m32 = jnp.asarray(
-        np.array([(1 << 32) // p for p in primes], dtype=np.uint32)
-    )[:, None]
+    # rotation keys for exactly the shifts the plan needs (local keygen —
+    # the collective protocol produces the same key shapes)
+    d = cache[0][0].d
+    shifts = set()
+    for row in cache:
+        for blk in row:
+            if blk.polys is None:
+                continue
+            shifts.update(int(b) for b in blk.babies)
+            shifts.update((int(g) * d) % params.slots for g in blk.giants)
+    shifts.discard(0)
+    for s in sorted(shifts):
+        g = ctx.galois_for_rotation(s)
+        if g not in cps.rot_keys:
+            cps.rot_keys[g] = ctx.gen_rot_key(sk, g, rng)
 
-    @jax.jit
-    def kernel(a, diags):
-        # both ciphertext components against every diagonal + lazy reduce
-        prod = rns.mul_mod_barrett(a[:, None], diags[None], q[None, None], mu[None, None])
-        acc = jnp.sum(prod, axis=1, dtype=jnp.uint32)
+    ncols = 8  # [1s | 5 covs | +2] combined-Q column count
+    Q = [
+        B.encrypt_float_vector(cps, rng.normal(size=n_ind))
+        for _ in range(ncols)
+    ]
+    Q = [[ctx.drop_to(cv[0], nmod)] for cv in Q]
 
-        def red(x):
-            qhat = rns._mulhi32(x, m32)
-            r = x - qhat * q
-            r = jnp.where(r >= q, r - q, r)
-            return jnp.where(r >= q, r - q, r)
-
-        return red(acc)
-
-    out = kernel(a, diags)
-    out.block_until_ready()
-    iters = 20
+    out = MM.mat_mult_cached(cps, Q, cache)  # compile + stage
+    jax.block_until_ready(out[0][0].c0)
+    iters = 3
     t0 = time.time()
     for _ in range(iters):
-        out = kernel(a, diags)
-    out.block_until_ready()
+        out = MM.mat_mult_cached(cps, Q, cache)
+    jax.block_until_ready(out[0][0].c0)
     dt = (time.time() - t0) / iters
-    macs = 2 * K * nmod * n  # modular multiply-accumulates per call
-    return macs / dt
+
+    k_total = sum(
+        len(blk.giants) for row in cache for blk in row if blk.polys is not None
+    )
+    macs = 2 * ncols * k_total * nmod * ctx.n  # c0+c1 per column per diagonal
+    return macs / dt, k_total, dt
 
 
-def cpu_baseline_throughput():
+def cpu_baseline_throughput(k_total, nmod, n):
     """Reference-equivalent lazy-accumulate MACs on the host CPU: uint64
     products accumulated without modular reduction (the Go kernel's
-    structure, vectorized by numpy)."""
-    n = 1 << 14
-    nmod, K = 17, 91
+    structure, vectorized by numpy), same diagonal count as the production
+    workload."""
     rng = np.random.default_rng(0)
     a = rng.integers(0, 1 << 25, size=(2, nmod, n), dtype=np.uint64)
-    d = rng.integers(0, 1 << 25, size=(K, nmod, n), dtype=np.uint64)
+    k_slice = min(k_total, 256)  # subsample diagonals; scale the time
+    dmat = rng.integers(0, 1 << 25, size=(k_slice, nmod, n), dtype=np.uint64)
     acc = np.zeros((2, nmod, n), dtype=np.uint64)
     t0 = time.time()
-    reps = 2
-    for _ in range(reps):
-        for k in range(K):
-            acc += a * d[k]
-    dt = (time.time() - t0) / reps
-    macs = 2 * K * nmod * n
+    for k in range(k_slice):
+        acc += a * dmat[k]
+    dt = (time.time() - t0) * (k_total / k_slice)
+    macs = 2 * k_total * nmod * n
     return macs / dt
 
 
 def main():
-    tpu_rate = tpu_mac_throughput()
-    cpu_rate = cpu_baseline_throughput()
+    tpu_rate, k_total, dt = production_matmult_throughput()
+    from sfgwas_tpu.gwas import matmult as MM
+
+    cpu_rate = cpu_baseline_throughput(k_total, 7, 1 << 14)
     print(
         json.dumps(
             {
-                "metric": "bsgs_modmac_throughput",
+                "metric": "production_bsgs_matmult_throughput",
                 "value": round(tpu_rate / 1e9, 3),
                 "unit": "GMAC/s",
                 "vs_baseline": round(tpu_rate / cpu_rate, 2),
+                "detail": {
+                    "block": "1000x4546 int8, 8 enc columns, PN14QP438",
+                    "diagonals": k_total,
+                    "secs_per_block_mult": round(dt, 3),
+                },
             }
         )
     )

@@ -36,12 +36,7 @@ def main(argv=None):
     if args.local_sim:
         from .parallel.transport import LocalCluster
         from .gwas.protocol import ProtocolInfo
-        import sys as _sys
         import threading
-
-        # see parallel/simulate.py: round latency is GIL-wakeup bound
-        if _sys.getswitchinterval() > 0.0002:
-            _sys.setswitchinterval(0.0002)
 
         nparty = args.local_sim
         cluster = LocalCluster(nparty)
@@ -61,6 +56,11 @@ def main(argv=None):
                     setattr(cfg, fld, v.replace("{pid}", str(pid if pid else 1)))
             cfg.cache_dir = os.path.join(cfg.cache_dir, f"party{pid}")
             cfg.output_dir = os.path.join(cfg.output_dir, f"party{pid}")
+            if pid == 0:
+                # one watchdog for the whole local-sim process (sfgwas.go:64)
+                from .utils.watchdog import MemoryWatchdog
+
+                MemoryWatchdog(cfg.memory_limit).start()
             prot = ProtocolInfo(cfg, pid, transport=cluster.transport(pid))
             outs[pid] = prot.gwas()
             prot.sync_and_terminate()
@@ -75,7 +75,9 @@ def main(argv=None):
     pid = int(os.environ.get("PID", "0"))
     cfg = load_config(args.config_global, args.config_local)
     from .gwas.protocol import ProtocolInfo
+    from .utils.watchdog import MemoryWatchdog
 
+    MemoryWatchdog(cfg.memory_limit).start()
     prot = ProtocolInfo(cfg, pid)
     prot.gwas()
     prot.sync_and_terminate()

@@ -147,11 +147,14 @@ class CkksContext:
     def sample_uniform_b(self, rng: np.random.Generator, rows, batch: int) -> jnp.ndarray:
         """Batched uniform residues [batch, len(rows), N]: one 64-bit draw
         folded per prime (statistical distance < 2^-38 from uniform), instead
-        of per-row bounded-integer loops -- the keygen hot path."""
+        of per-row bounded-integer loops -- the keygen hot path.  Raw
+        bit-generator output: Generator.integers' full-span path is ~80x
+        slower (masked-rejection loop) than random_raw."""
         q = np.array([self.basis.primes[r] for r in rows], np.uint64)[None, :, None]
-        raw = rng.integers(
-            0, 1 << 64, size=(batch, len(rows), self.n), dtype=np.uint64
-        )
+        raw = np.asarray(
+            rng.bit_generator.random_raw(batch * len(rows) * self.n),
+            dtype=np.uint64,
+        ).reshape(batch, len(rows), self.n)
         return jnp.asarray((raw % q).astype(np.uint32))
 
     def small_to_rns_b(self, smalls: np.ndarray, rows) -> jnp.ndarray:
@@ -208,6 +211,43 @@ class CkksContext:
                 add_mod(k0[diag, diag], terms, t["q"][: self.nq])
             )
         return k0
+
+    @_ctxjit()
+    def kswitch_share_many(self, s_tgt, s_diag_b, a, e):
+        """kswitch_share for B keys in ONE fused kernel (the RTG chunk path):
+        s_diag_b [B, nq+1, N]; a, e [B, nq, nq+1, N] -> [B, nq, nq+1, N]."""
+        t = _sel(self.basis, self.full_rows)
+        q, mu = t["q"][None, None], t["mu"][None, None]
+        k0 = add_mod(
+            neg_mod(mul_mod_barrett(a, s_tgt[None, None], q, mu), q), e, q
+        )
+        terms = self._gadget_terms_b(s_diag_b)  # [B, nq, N]
+        diag = jnp.arange(self.nq)
+        return k0.at[:, diag, diag].set(
+            add_mod(k0[:, diag, diag], terms, t["q"][None, : self.nq])
+        )
+
+    def _gadget_terms_b(self, s_src_b: jnp.ndarray) -> jnp.ndarray:
+        """(P mod q_j) * s_src_b[:, j] per digit row j: [B, nq, N]."""
+        psp = self.params.special
+        qv = np.array(self.params.q_primes, np.uint64)
+        pj = np.array([psp % qj for qj in self.params.q_primes], np.uint64)
+        pj_dev = pj.astype(np.uint32)[None, :, None]
+        pj_sh = ((pj << np.uint64(32)) // qv).astype(np.uint32)[None, :, None]
+        t = _sel(self.basis, self.full_rows)
+        return mul_mod_shoup(
+            s_src_b[:, : self.nq], pj_dev, pj_sh, t["q"][None, : self.nq]
+        )
+
+    def automorphism_many(self, poly, gs) -> jnp.ndarray:
+        """sigma_g(poly) for many Galois elements: [B, ...poly shape]."""
+        perms = self.perms_for(gs)  # [B, N]
+        extra = (1,) * (np.ndim(poly) - 1)
+        return jnp.take_along_axis(
+            jnp.broadcast_to(poly[None], (len(gs),) + poly.shape),
+            perms.reshape((len(gs),) + extra + (-1,)),
+            axis=-1,
+        )
 
     def gen_kswitch_key(
         self, s_src: jnp.ndarray, sk: SecretKey, rng: np.random.Generator

@@ -104,8 +104,39 @@ def get_association_stats(
 
     from . import utilities as U
 
+    # ciphertext caches are decryptable only when the collective key bundle
+    # survived from the run that wrote them (use_cached_keys restore); a
+    # fresh keygen silently invalidates every stored ciphertext
+    ct_cache_ok = bool(cps and cps.keys_from_cache)
     qcomb_cache = f"{cache_prefix}_Qcomb.npz" if cache_prefix else None
-    if use_cached_combined_q and qcomb_cache and _os.path.exists(qcomb_cache):
+    # the combined-QR skip involves party 0's dealer rounds, so ALL parties
+    # must take the same branch: hub ANDs the data parties' readiness bits
+    # and broadcasts the decision (the reference reaches the same consensus
+    # implicitly through its shared config flags, gwas/assoc.go:501-514)
+    want = int(
+        use_cached_combined_q
+        and ct_cache_ok
+        and qcomb_cache is not None
+        and _os.path.exists(qcomb_cache)
+    )
+    nparty = mpc.net.nparty
+    if pid == mpc.hub_pid:
+        bits = [want] + [
+            mpc.net.recv_int(p)
+            for p in range(1, nparty)
+            if p != mpc.hub_pid
+        ]
+        decision = int(all(bits))
+        for p in range(nparty):
+            if p != mpc.hub_pid:
+                mpc.net.send_int(decision, p)
+    elif pid > 0:
+        mpc.net.send_int(want, mpc.hub_pid)
+        decision = mpc.net.recv_int(mpc.hub_pid)
+    else:
+        decision = mpc.net.recv_int(mpc.hub_pid)
+
+    if decision:
         if pid > 0:
             Q = U.load_cipher_matrix(cps, qcomb_cache)
         else:
@@ -141,10 +172,26 @@ def get_association_stats(
 
         sxx_blocks, sxy_blocks, filters = [], [], []
         for b, G in enumerate(geno_blocks):
+            # per-block RESULT cache (ciphertexts + dosage sums, the
+            # reference's GenoBlockMult caches, gwas/assoc.go:317-334);
+            # diagonal encodings are NOT cached here -- each assoc block is
+            # multiplied once, and its encodings are ~GBs at biobank scale
             cache_file = f"{cache_prefix}_assoc_{b}.npz" if cache_prefix else None
-            out, dsum, dsq = MM.mat_mult_stream(
-                cps, [c for c in concat], G, compute_sums=True, cache_file=cache_file
-            )
+            if cache_file and ct_cache_ok and _os.path.exists(cache_file):
+                # party-local decision is safe here: a cache hit replaces
+                # only local compute; the aggregate/bootstrap message
+                # pattern below is identical either way
+                z = np.load(cache_file)
+                out = U.load_cipher_matrix(cps, cache_file)
+                dsum, dsq = z["dsum"], z["dsq"]
+            else:
+                out, dsum, dsq = MM.mat_mult_stream(
+                    cps, [c for c in concat], G, compute_sums=True
+                )
+                if cache_file:
+                    U.save_cipher_matrix(
+                        cps, out, cache_file, extra={"dsum": dsum, "dsq": dsq}
+                    )
             out = mhe.aggregate_cmat(mpc.net, cps, out)
             out = mhe.bootstrap_mat(mpc.net, cps, out, -1)
 

@@ -58,7 +58,13 @@ class ProtocolInfo:
         )
         self.cps = None
         if not mpc_only:
-            self.cps = mhe.collective_init(self.net, config.ckks_params)
+            key_cache = None
+            if config.use_cached_keys:
+                os.makedirs(config.cache_dir, exist_ok=True)
+                key_cache = os.path.join(config.cache_dir, "keys.npz")
+            self.cps = mhe.collective_init(
+                self.net, config.ckks_params, key_cache=key_cache
+            )
 
         self.gwas_params = GWASParams(
             list(config.num_inds),
@@ -409,6 +415,7 @@ class ProtocolInfo:
             [0] + list(gp.num_filt_inds[1:]),
             cov_all_ones=cfg.cov_all_ones,
             cache_prefix=self.cache_path("assoc"),
+            use_cached_combined_q=cfg.use_cached_combined_q,
         )
 
         if pid > 0:

@@ -154,10 +154,8 @@ def net_dqr_enc(
                     A[c][ctid] = B.mask(cps, A[c][ctid], slotid, True)
             if A:
                 A, _ = B.flatten_levels(cps, A)
-        else:
-            # party 0 participates in the aggregated/SS ops only
-            for c in range(ncol_curr):
-                pass
+        # party 0 participates in the aggregated/SS ops only; it has no
+        # ciphertext columns to update here
 
     # Backward pass: reconstruct Q from the Householder vectors
     if pid == 0:

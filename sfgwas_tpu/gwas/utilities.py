@@ -53,15 +53,19 @@ def load_matrix_float(filename: str) -> np.ndarray:
     return np.loadtxt(filename, delimiter=",", ndmin=2)
 
 
-def save_cipher_matrix(cps, cm: B.CipherMatrix, filename: str):
+def save_cipher_matrix(cps, cm: B.CipherMatrix, filename: str, extra=None):
     """Encrypted cache (the reference marshals lattigo ciphertexts;
-    here: npz of RNS arrays)."""
+    here: npz of RNS arrays).  `extra` adds plaintext side arrays (e.g. the
+    dosage sums the reference stores beside its block caches,
+    gwas/assoc.go:317-334)."""
     data = {"rows": len(cm), "cols": len(cm[0])}
     for i, cv in enumerate(cm):
         for j, ct in enumerate(cv):
             data[f"c0_{i}_{j}"] = np.asarray(ct.c0)
             data[f"c1_{i}_{j}"] = np.asarray(ct.c1)
             data[f"m_{i}_{j}"] = np.array([ct.nmod, ct.scale])
+    if extra:
+        data.update({k: np.asarray(v) for k, v in extra.items()})
     np.savez_compressed(filename, **data)
 
 

@@ -228,8 +228,6 @@ def sort_rows_descend(mpc: MPC, A, w):
     """Oblivious bubble sort of rows of A by w, descending
     (mpc/mpc.go:2534-2552)."""
     ring = mpc.ring
-    A = A
-    w = w
     n = A.shape[0]
     for i in range(n - 1):
         for j in range(n - 1, i, -1):

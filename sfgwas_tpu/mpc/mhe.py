@@ -23,6 +23,8 @@ here except where the reference does.
 from __future__ import annotations
 
 import os
+import threading
+import weakref
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -48,6 +50,10 @@ class CryptoParams:
     rlk: Optional[C.KSwitchKey]
     rot_keys: Dict[int, C.KSwitchKey] = field(default_factory=dict)
     enc_rng: np.random.Generator = None
+    # True iff this key bundle was RESTORED from the key cache -- the only
+    # case in which ciphertexts cached by an earlier run are decryptable
+    # (fresh collective keygen invalidates every stored ciphertext)
+    keys_from_cache: bool = False
     _kstack: Dict = field(default_factory=dict, repr=False)
 
     @property
@@ -103,9 +109,57 @@ class CryptoParams:
         return C.Ciphertext(r0[0], r1[0], ct.nmod, ct.scale)
 
 
+class CrpStream:
+    """Common-reference polynomial stream.
+
+    Draw i is derived STATELESSLY from (seed, i) via a fresh Philox key, so
+    every party computes identical values with no shared generator state --
+    and colocated parties (local-sim threads) share ONE physical buffer per
+    draw through a process-wide memo.  The CRP is public common data, so
+    sharing buffers does not change the trust model; it matters because
+    fresh pages fault in at ~10 MB/s on lazily-backed VMs, making duplicate
+    identical gigabytes the dominant keygen cost."""
+
+    _memo: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
+    _lock = threading.Lock()
+
+    def __init__(self, seed: int):
+        self.seed = int(seed) & ((1 << 64) - 1)
+        self.i = 0
+
+    def uniform_b(self, ctx, rows, batch: int) -> np.ndarray:
+        """[batch, len(rows), N] uint32 residues (host array, frozen)."""
+        idx = self.i
+        self.i += 1
+        key = (self.seed, idx, tuple(rows), batch, ctx.n)
+        with self._lock:
+            hit = self._memo.get(key)
+            if hit is not None:
+                return hit
+            rng = np.random.default_rng(np.random.Philox(key=[self.seed, idx]))
+            raw = np.asarray(
+                rng.bit_generator.random_raw(batch * len(rows) * ctx.n),
+                dtype=np.uint64,
+            ).reshape(batch, len(rows), ctx.n)
+            q = np.array(
+                [ctx.basis.primes[r] for r in rows], np.uint64
+            )[None, :, None]
+            val = (raw % q).astype(np.uint32)
+            val.flags.writeable = False
+            self._memo[key] = val
+            return val
+
+    def uniform(self, ctx, rows) -> np.ndarray:
+        return self.uniform_b(ctx, rows, 1)[0]
+
+
 def generate_rot_shifts(slots: int, small_dim: int = 20) -> List[int]:
-    """Rotation shifts to generate keys for: powers of two (both directions)
-    + small baby steps + BSGS giant steps (crypto/crypto.go:232-275)."""
+    """Rotation shifts to generate keys for (crypto/crypto.go:232-275):
+    powers of two (both directions), BSGS baby steps 1..d-1 and giant steps
+    g*d (left; both directions kept for the backward QR pass), plus small
+    right shifts up to small_dim."""
+    import math
+
     shifts = set()
     p = 1
     while p < slots:
@@ -115,9 +169,9 @@ def generate_rot_shifts(slots: int, small_dim: int = 20) -> List[int]:
     for k in range(1, small_dim + 1):
         shifts.add(k % slots)
         shifts.add((slots - k) % slots)
-    import math
-
     d = int(math.ceil(math.sqrt(slots)))
+    for b in range(1, d):
+        shifts.add(b)
     for g in range(1, d + 1):
         shifts.add((g * d) % slots)
         shifts.add((slots - g * d) % slots)
@@ -130,18 +184,39 @@ def collective_init(
     params_name: str,
     extra_shifts: Optional[List[int]] = None,
     shifts_override: Optional[List[int]] = None,
+    key_cache: Optional[str] = None,
 ) -> CryptoParams:
     """Interactive collective key generation (mpc/mhe.go:24-81).
     shifts_override replaces the default rotation-key set (tests / reduced
-    deployments)."""
+    deployments).  key_cache names a per-party .npz file: when present the
+    whole key bundle (this party's shard + collective keys) is restored
+    without the interactive protocol — an iteration aid for repeated runs on
+    one machine, in the spirit of the reference's cached decrypted
+    intermediates (gwas/gwas.go:333-360); NOT for production deployments."""
     params = get_params(params_name)
     ctx = C.CkksContext(params)
     pid = net.pid
 
+    if key_cache and os.path.exists(key_cache):
+        z = np.load(key_cache)
+        rot_keys = {}
+        for g in z["gelems"]:
+            rot_keys[int(g)] = C.KSwitchKey(z[f"rk0_{g}"], z[f"rk1_{g}"])
+        log(f"pid{pid} keys restored from {key_cache}")
+        return CryptoParams(
+            ctx,
+            C.SecretKey(jnp.asarray(z["sk"])),
+            C.PublicKey(jnp.asarray(z["pk0"]), jnp.asarray(z["pk1"])),
+            C.KSwitchKey(jnp.asarray(z["rlk0"]), jnp.asarray(z["rlk1"])),
+            rot_keys,
+            np.random.default_rng(),
+            keys_from_cache=True,
+        )
+
     # CRP stream: seeded from the globally shared PRG (mpc/mhe.go:49-59)
     with net.rand.using(-1) as g:
         crp_seed = int.from_bytes(g.bytes(8), "little")
-    crp_rng = np.random.default_rng(np.random.Philox(key=crp_seed))
+    crp_rng = CrpStream(crp_seed)
     enc_rng = np.random.default_rng()  # local randomness
 
     # secret shard (party 0: zero key, mpc/mhe.go:32-35)
@@ -171,6 +246,21 @@ def collective_init(
         )
     log(f"pid{pid} collective init done")
 
+    if key_cache:
+        data = {
+            "sk": np.asarray(sk.s),
+            "pk0": np.asarray(pk.p0),
+            "pk1": np.asarray(pk.p1),
+            "rlk0": np.asarray(rlk.d0),
+            "rlk1": np.asarray(rlk.d1),
+            "gelems": np.asarray(sorted(rot_keys), np.int64),
+        }
+        for g, k in rot_keys.items():
+            data[f"rk0_{g}"] = np.asarray(k.d0)
+            data[f"rk1_{g}"] = np.asarray(k.d1)
+        np.savez(key_cache, **data)
+        log(f"pid{pid} keys cached to {key_cache}")
+
     return CryptoParams(ctx, sk, pk, rlk, rot_keys, enc_rng)
 
 
@@ -193,7 +283,7 @@ def collective_pubkey_gen(net: Network, ctx, sk, crp_rng) -> C.PublicKey:
     """CKG (mpc/mhe.go:83-105): share_i = -crp*s_i + e_i."""
     rows = ctx.full_rows
     t = _sel(ctx.basis, rows)
-    crp = ctx.sample_uniform(crp_rng, rows)  # same on all parties
+    crp = jnp.asarray(crp_rng.uniform(ctx, rows))  # same on all parties
     if net.pid == 0:
         share = jnp.zeros((ctx.nq + 1, ctx.n), jnp.uint32)
     else:
@@ -226,27 +316,24 @@ def collective_relin_keygen(net: Network, ctx, sk, crp_rng) -> C.KSwitchKey:
     pid = net.pid
     rng = np.random.default_rng()
 
-    a_all = ctx.sample_uniform_b(crp_rng, rows, ctx.nq)  # [nq, nq+1, N]
     if pid == 0:
-        u_ntt = None
-        h_shares = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
-    else:
-        u_ntt = ctx.small_to_rns(ctx.sample_ternary(rng), rows)
-        e = ctx.small_to_rns_b(_gauss_b(ctx, rng, ctx.nq), rows)
-        h_shares = ctx.kswitch_share(u_ntt, sk.s, a_all, e)
+        # zero key at the dealer (never used on real ciphertexts; the
+        # dealer is outside the aggregation tree): skip draws and shares
+        z = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
+        return C.KSwitchKey(z, z)
+    a_all = jnp.asarray(crp_rng.uniform_b(ctx, rows, ctx.nq))  # [nq, nq+1, N]
+    u_ntt = ctx.small_to_rns(ctx.sample_ternary(rng), rows)
+    e = ctx.small_to_rns_b(_gauss_b(ctx, rng, ctx.nq), rows)
+    h_shares = ctx.kswitch_share(u_ntt, sk.s, a_all, e)
     # one aggregation message for all digits (the reference aggregates
     # per-poly; batching cuts round count by beta)
     h_agg = _aggregate_mod(net, ctx, h_shares, rows)
 
-    if pid == 0:
-        v_sh = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
-        w_sh = jnp.zeros((ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32)
-    else:
-        q, mu = t["q"][None], t["mu"][None]
-        e1 = ctx.small_to_rns_b(_gauss_b(ctx, rng, ctx.nq), rows)
-        e2 = ctx.small_to_rns_b(_gauss_b(ctx, rng, ctx.nq), rows)
-        v_sh = add_mod(mul_mod_barrett(sk.s[None], h_agg, q, mu), e1, q)
-        w_sh = add_mod(mul_mod_barrett(u_ntt[None], a_all, q, mu), e2, q)
+    q, mu = t["q"][None], t["mu"][None]
+    e1 = ctx.small_to_rns_b(_gauss_b(ctx, rng, ctx.nq), rows)
+    e2 = ctx.small_to_rns_b(_gauss_b(ctx, rng, ctx.nq), rows)
+    v_sh = add_mod(mul_mod_barrett(sk.s[None], h_agg, q, mu), e1, q)
+    w_sh = add_mod(mul_mod_barrett(u_ntt[None], a_all, q, mu), e2, q)
     d0 = _aggregate_mod(net, ctx, v_sh, rows)
     d1 = _aggregate_mod(net, ctx, w_sh, rows)
     return C.KSwitchKey(d0, d1)
@@ -262,27 +349,39 @@ def collective_rotkey_gen_many(
     batching serves the same end with ~beta*chunk fewer messages)."""
     rows = ctx.full_rows
     pid = net.pid
+    nq, nfull, n = ctx.nq, ctx.nq + 1, ctx.n
     rng = np.random.default_rng()
     out: Dict[int, C.KSwitchKey] = {}
     for c0 in range(0, len(gelems), chunk):
         gs = gelems[c0 : c0 + chunk]
-        a_list = [ctx.sample_uniform_b(crp_rng, rows, ctx.nq) for _ in gs]
+        B = len(gs)
         if pid == 0:
-            shares = jnp.zeros(
-                (len(gs), ctx.nq, ctx.nq + 1, ctx.n), jnp.uint32
-            )
-        else:
-            shs = []
-            for g_el, a in zip(gs, a_list):
-                s_g = ctx.automorphism(sk.s, g_el)
-                e = ctx.small_to_rns_b(_gauss_b(ctx, rng, ctx.nq), rows)
-                shs.append(ctx.kswitch_share(sk.s, s_g, a, e))
-            shares = jnp.stack(shs)
+            # party 0's keys are zero shares and never touch a real
+            # ciphertext (its ops mirror on dummies); skip the CRP draws and
+            # share compute entirely.  Its crp_rng desyncs here, which is
+            # safe: all later shared randomness uses fresh per-call seeds.
+            d0 = np.zeros((B, nq, nfull, n), np.uint32)
+            for g_el in gs:
+                out[g_el] = C.KSwitchKey(
+                    np.zeros((nq, nfull, n), np.uint32),
+                    np.zeros((nq, nfull, n), np.uint32),
+                )
+            continue
+        # whole chunk in batched kernels: one CRP draw, one noise batch, one
+        # stacked automorphism, one fused share kernel
+        a_all = crp_rng.uniform_b(ctx, rows, B * nq).reshape(B, nq, nfull, n)
+        e_all = ctx.small_to_rns_b(_gauss_b(ctx, rng, B * nq), rows).reshape(
+            B, nq, nfull, n
+        )
+        s_g = ctx.automorphism_many(sk.s, gs)  # [B, nfull, n]
+        shares = ctx.kswitch_share_many(sk.s, s_g, a_all, e_all)
         d0 = _aggregate_mod(net, ctx, shares, rows)
+        d0 = np.asarray(d0)
+        a_np = np.asarray(a_all)
         for i, g_el in enumerate(gs):
             # host-resident: the full key set exceeds HBM at production
             # presets; stacked_keys() moves level-sliced views on-device
-            out[g_el] = C.KSwitchKey(np.asarray(d0[i]), np.asarray(a_list[i]))
+            out[g_el] = C.KSwitchKey(d0[i], a_np[i])
     return out
 
 

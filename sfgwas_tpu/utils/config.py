@@ -49,6 +49,10 @@ class Config:
     sample_keep_file: str = ""
     snp_ids_file: str = ""
 
+    # iteration aid: cache the collective key bundle under cache_dir and
+    # restore it on later runs (skips interactive keygen; NOT for production)
+    use_cached_keys: bool = False
+
     # QC
     skip_qc: bool = False
     use_cached_qc: bool = False

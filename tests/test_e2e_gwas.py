@@ -48,7 +48,8 @@ def make_data(tmpdir, rng):
     return data
 
 
-def make_config(tmpdir, pid, skip_pca=True, logistic=False, cached=False):
+def make_config(tmpdir, pid, skip_pca=True, logistic=False, cached=False,
+                cached_keys=False):
     cfg = Config()
     cfg.num_main_parties = 2
     cfg.ckks_params = "TEST8"
@@ -75,6 +76,8 @@ def make_config(tmpdir, pid, skip_pca=True, logistic=False, cached=False):
     if cached:
         cfg.use_cached_qc = True
         cfg.use_cached_combined_q = True
+    if cached_keys:
+        cfg.use_cached_keys = True
     d = os.path.join(tmpdir, f"party{pid}")
     cfg.geno_binary_file_prefix = os.path.join(d, "geno")
     cfg.geno_block_size_file = os.path.join(d, "blocksizes.txt")
@@ -87,7 +90,7 @@ def make_config(tmpdir, pid, skip_pca=True, logistic=False, cached=False):
 
 
 def run_protocol(tmpdir, skip_pca=True, logistic=False, cached=False,
-                 cached_pca=False):
+                 cached_pca=False, cached_keys=False):
     cluster = LocalCluster(NPARTY)
     outs = [None] * NPARTY
     errs = [None] * NPARTY
@@ -95,7 +98,8 @@ def run_protocol(tmpdir, skip_pca=True, logistic=False, cached=False,
     def work(pid):
         try:
             cfg = make_config(
-                tmpdir, pid if pid > 0 else 1, skip_pca, logistic, cached
+                tmpdir, pid if pid > 0 else 1, skip_pca, logistic, cached,
+                cached_keys,
             )
             if cached_pca:
                 cfg.use_cached_pca = True
@@ -168,12 +172,17 @@ def test_e2e_linear_no_pca(tmp_path):
 
 
 def test_e2e_cached_resume(tmp_path):
-    """Checkpoint/resume (SURVEY §5): a second run with use_cached_qc +
-    use_cached_combined_q must reproduce the statistics from the caches."""
+    """Checkpoint/resume (SURVEY §5): a second run with use_cached_keys +
+    use_cached_qc + use_cached_combined_q must reproduce the statistics from
+    the caches.  Keys must persist (use_cached_keys) for the ciphertext
+    caches (Qcomb, per-block results) to be decryptable in the second run —
+    a fresh collective keygen invalidates them."""
     rng = np.random.default_rng(99)
     data = make_data(str(tmp_path), rng)
-    first = run_protocol(str(tmp_path), skip_pca=True)[1]
-    second = run_protocol(str(tmp_path), skip_pca=True, cached=True)[1]
+    first = run_protocol(str(tmp_path), skip_pca=True, cached_keys=True)[1]
+    second = run_protocol(
+        str(tmp_path), skip_pca=True, cached=True, cached_keys=True
+    )[1]
     assert second.shape == first.shape
     # same QC filter and cached Qcomb -> numerically close statistics
     # (fresh decrypt noise only)

@@ -5,18 +5,30 @@ The reference shells out to plink2 at runtime for .pgen extraction
 the format directly so the runtime stays pure Python/numpy.
 
 Supported: storage mode 0x10 (standard variable-record) with the 4-bit
-vrtype / 1-byte record-length header layout, record types
+vrtype / 1-byte record-length header layout, hardcall record types
 
   * 0 — direct 2-bit hardcalls;
   * 1 — "onebit": two common genotype values selected by a 1-bit matrix
         (byte0: bits 0-1 = value for bit 1, bits 2-3 = value for bit 0),
         plus a difflist of rare overrides;
+  * 2 — LD-compressed: copy of the most recent non-LD variant, plus a
+        difflist of overrides;
+  * 3 — LD-compressed + inverted: as 2 but the copied base is allele-
+        flipped (0<->2, 1 and missing unchanged) before the difflist;
+  * 4 / 6 / 7 — constant-base difflist: every sample is (vrtype&7)-4
+        (0 = hom-ref, 2 = hom-alt, 3 = missing) except the difflist
+        entries ((vrtype&7)==5 is disallowed by the format);
 
 and the difflist encoding: varint length, raw group-start sample IDs
 (groups of 64), one extra byte per non-first group, packed 2-bit values,
-then per-group varint sample-ID deltas.  Layout verified against plink2's
-own --geno-counts output on the reference example_data (all 100k variants
-x 2 parties match exactly).
+then per-group varint sample-ID deltas.  Types 0/1 are verified against
+plink2's own --geno-counts output on the reference example_data (all 100k
+variants x 2 parties match exactly); types 2-7 are covered by synthetic
+round-trip fixtures (tests/test_pgen.py) built to the published pgen spec
+(plink2 binaries are unavailable in this image).  Phase/dosage tracks
+(vrtype bits 3-6) are not decoded: hardcalls are read and the trailing
+track bytes are ignored, which matches the reference's use of plink2
+--make-bed style hardcall extraction (gwas/utilities.go:141-200).
 
 Genotype codes: 0/1/2 dosage, 3 = missing (mapped to -1 in the int8
 output, matching scripts/plinkBedToBinary.py:26).
@@ -130,9 +142,11 @@ class PgenReader:
         sct = self.sample_ct
         vct = self.variant_ct
         out = np.zeros((vct, sct), np.int8)
+        base = self.vrtypes & 7
+        has_tracks = self.vrtypes >= 8  # phase/dosage tracks follow
 
         # type 0: batch-decode all direct records at once
-        t0 = np.where(self.vrtypes == 0)[0]
+        t0 = np.where(base == 0)[0]
         if t0.size:
             nb = (sct + 3) // 4
             recs = np.zeros((t0.size, nb), np.uint8)
@@ -141,24 +155,49 @@ class PgenReader:
             k = np.arange(sct)
             codes = (recs[:, k // 4] >> (2 * (k % 4)).astype(np.uint8)) & 3
             out[t0] = codes
-        t1 = np.where(self.vrtypes == 1)[0]
+
         bb = (sct + 7) // 8
-        for i in t1:
+        bad = np.where(base == 5)[0]
+        if bad.size:
+            raise ValueError(f"invalid PGEN vrtype&7 == 5 at {bad[:4].tolist()}")
+        # LD chain state: most recent non-LD-compressed hardcall row, in raw
+        # 2-bit codes.  Sequential pass over the non-type-0 records (LD
+        # records reference decode order, so order matters).
+        ld_base = None
+        for i in range(vct):
+            bt = int(base[i])
+            if bt == 0:
+                ld_base = out[i]
+                continue
             rec = d[self.rec_offs[i] : self.rec_offs[i + 1]]
-            b0 = int(rec[0])
-            val1, val0 = b0 & 3, (b0 >> 2) & 3
-            bits = np.unpackbits(rec[1 : 1 + bb], bitorder="little")[:sct]
-            g = np.where(bits, val1, val0).astype(np.uint8)
-            ids, vals, pos = self._decode_difflist(rec, 1 + bb)
-            assert pos == len(rec), (self.path, int(i), pos, len(rec))
+            if bt == 1:
+                b0 = int(rec[0])
+                val1, val0 = b0 & 3, (b0 >> 2) & 3
+                bits = np.unpackbits(rec[1 : 1 + bb], bitorder="little")[:sct]
+                g = np.where(bits, val1, val0).astype(np.uint8)
+                ids, vals, pos = self._decode_difflist(rec, 1 + bb)
+            elif bt in (2, 3):
+                if ld_base is None:
+                    raise ValueError(
+                        f"LD-compressed record {i} with no prior base variant"
+                    )
+                g = np.asarray(ld_base, np.uint8).copy()
+                if bt == 3:
+                    # allele flip: 0<->2; 1 (het) and 3 (missing) unchanged
+                    g = np.where(g == 0, 2, np.where(g == 2, 0, g)).astype(
+                        np.uint8
+                    )
+                ids, vals, pos = self._decode_difflist(rec, 0)
+            else:  # 4 / 6 / 7: constant base (vrtype&7)-4
+                g = np.full(sct, bt - 4, np.uint8)
+                ids, vals, pos = self._decode_difflist(rec, 0)
+            if not has_tracks[i]:
+                assert pos == len(rec), (self.path, int(i), pos, len(rec))
             if ids.size:
                 g[ids] = vals
             out[i] = g
-        other = np.setdiff1d(np.unique(self.vrtypes), [0, 1])
-        if other.size:
-            raise NotImplementedError(
-                f"PGEN record types {other.tolist()} not supported yet"
-            )
+            if bt not in (2, 3):
+                ld_base = out[i]
         res = out.T.astype(np.int8)
         return np.where(res == 3, np.int8(-1), res)
 

@@ -93,3 +93,181 @@ def test_pgen_all_chromosomes_both_parties():
             assert ((g == -1).sum(0) == gc[5, sl]).all(), (party, c)
             col += m
         assert col == gc.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# Synthetic fixtures for record types 2-7 (LD-compressed + constant-base
+# difflists).  plink2 binaries are unavailable in this image, so these
+# fixtures are written to the published pgen spec by the encoder below; the
+# shared machinery (header layout, difflist format) is the same code path
+# verified against plink2 output in the tests above.
+
+
+def _varint(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_difflist(ids, vals, sid_bytes):
+    """Difflist: varint len, group starts, per-group byte hints, packed
+    2-bit values, per-group varint deltas."""
+    L = len(ids)
+    out = bytearray(_varint(L))
+    if L == 0:
+        return bytes(out)
+    G = (L + 63) // 64
+    groups = [ids[g * 64 : (g + 1) * 64] for g in range(G)]
+    delta_streams = []
+    for grp in groups:
+        s = bytearray()
+        for a, b in zip(grp[:-1], grp[1:]):
+            s += _varint(b - a)
+        delta_streams.append(bytes(s))
+    for grp in groups:
+        out += int(grp[0]).to_bytes(sid_bytes, "little")
+    for s in delta_streams[:-1]:
+        assert len(s) < 256
+        out.append(len(s))
+    vb = np.zeros((L + 3) // 4, np.uint8)
+    for k, v in enumerate(vals):
+        vb[k // 4] |= (v & 3) << (2 * (k % 4))
+    out += vb.tobytes()
+    for s in delta_streams:
+        out += s
+    return bytes(out)
+
+
+def _write_pgen(path, rows, vrtypes, sid_bytes=2):
+    """Minimal mode-0x10 pgen encoder for the hardcall record types the
+    reader supports.  rows: [vct, sct] raw 2-bit codes (3 = missing)."""
+    import struct
+
+    rows = np.asarray(rows, np.uint8)
+    vct, sct = rows.shape
+    recs = []
+    ld_base = None
+    for i, vt in enumerate(vrtypes):
+        g = rows[i]
+        if vt == 0:
+            rec = bytearray()
+            nb = (sct + 3) // 4
+            packed = np.zeros(nb, np.uint8)
+            for k in range(sct):
+                packed[k // 4] |= (int(g[k]) & 3) << (2 * (k % 4))
+            rec += packed.tobytes()
+            ld_base = g
+        elif vt == 1:
+            cnt = np.bincount(g, minlength=4)
+            val0, val1 = np.argsort(cnt)[::-1][:2]
+            bits = (g == val1).astype(np.uint8)
+            rare = np.where((g != val0) & (g != val1))[0]
+            rec = bytearray([((int(val0) & 3) << 2) | (int(val1) & 3)])
+            rec += np.packbits(bits, bitorder="little")[
+                : (sct + 7) // 8
+            ].tobytes()
+            rec += _encode_difflist(rare, g[rare], sid_bytes)
+            ld_base = g
+        elif vt in (2, 3):
+            assert ld_base is not None
+            b = ld_base.copy()
+            if vt == 3:
+                b = np.where(b == 0, 2, np.where(b == 2, 0, b)).astype(np.uint8)
+            diff = np.where(g != b)[0]
+            rec = bytearray(_encode_difflist(diff, g[diff], sid_bytes))
+        else:  # 4/6/7
+            basev = vt - 4
+            diff = np.where(g != basev)[0]
+            rec = bytearray(_encode_difflist(diff, g[diff], sid_bytes))
+            ld_base = g
+        recs.append(bytes(rec))
+
+    hdr = bytearray(b"\x6c\x1b\x10")
+    hdr += struct.pack("<I", vct)
+    hdr += struct.pack("<I", sct)
+    hdr += bytes([0])  # format byte: 4-bit vrtypes + 1-byte lengths
+    # one variant block (vct <= 65536)
+    body_off_pos = len(hdr)
+    hdr += b"\x00" * 8  # patched below
+    nib = np.zeros((vct + 1) // 2, np.uint8)
+    for i, vt in enumerate(vrtypes):
+        if i % 2 == 0:
+            nib[i // 2] |= vt & 0xF
+        else:
+            nib[i // 2] |= (vt & 0xF) << 4
+    hdr += nib.tobytes()
+    hdr += bytes(len(r) for r in recs)
+    struct.pack_into("<Q", hdr, body_off_pos, len(hdr))
+    with open(path, "wb") as f:
+        f.write(bytes(hdr) + b"".join(recs))
+
+
+def _rand_rows(rng, vct, sct, sparse_from=None, base=None):
+    rows = rng.integers(0, 4, size=(vct, sct)).astype(np.uint8)
+    return rows
+
+
+def test_pgen_types_2_to_7_roundtrip(tmp_path):
+    rng = np.random.default_rng(7)
+    sct = 300
+    rows = []
+    vrtypes = []
+    # type 0 anchor, then LD-compressed twins, inverted, const-base lists
+    g0 = rng.integers(0, 4, size=sct).astype(np.uint8)
+    rows.append(g0)
+    vrtypes.append(0)
+    g2 = g0.copy()
+    g2[rng.choice(sct, 17, replace=False)] = rng.integers(0, 4, size=17)
+    rows.append(g2)
+    vrtypes.append(2)
+    inv = np.where(g0 == 0, 2, np.where(g0 == 2, 0, g0)).astype(np.uint8)
+    g3 = inv.copy()
+    g3[rng.choice(sct, 90, replace=False)] = rng.integers(0, 4, size=90)
+    rows.append(g3)
+    vrtypes.append(3)
+    for vt, basev in ((4, 0), (6, 2), (7, 3)):
+        g = np.full(sct, basev, np.uint8)
+        idx = rng.choice(sct, 70, replace=False)
+        g[idx] = rng.integers(0, 4, size=70)
+        rows.append(g)
+        vrtypes.append(vt)
+    # an LD record referencing the const-base row (most recent non-LD)
+    g2b = rows[-1].copy()
+    g2b[rng.choice(sct, 5, replace=False)] = rng.integers(0, 4, size=5)
+    rows.append(g2b)
+    vrtypes.append(2)
+    # onebit for good measure
+    g1 = np.where(rng.random(sct) < 0.9, 0, 1).astype(np.uint8)
+    g1[rng.choice(sct, 6, replace=False)] = rng.integers(2, 4, size=6)
+    rows.append(g1)
+    vrtypes.append(1)
+
+    rows = np.stack(rows)
+    path = str(tmp_path / "synth.pgen")
+    _write_pgen(path, rows, vrtypes)
+    r = PgenReader(path)
+    assert list(r.vrtypes) == vrtypes
+    got = r.read_all()  # [sct, vct], -1 for missing
+    want = rows.T.astype(np.int8)
+    want = np.where(want == 3, np.int8(-1), want)
+    assert np.array_equal(got, want)
+
+
+def test_pgen_type5_rejected(tmp_path):
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, 4, size=(2, 64)).astype(np.uint8)
+    path = str(tmp_path / "bad.pgen")
+    _write_pgen(path, rows, [0, 4])
+    # corrupt the vrtype nibble of variant 1 to the disallowed value 5
+    data = bytearray(open(path, "rb").read())
+    data[20] = (data[20] & 0x0F) | (5 << 4)
+    open(path, "wb").write(bytes(data))
+    r = PgenReader(path)
+    with pytest.raises(ValueError, match="vrtype"):
+        r.read_all()

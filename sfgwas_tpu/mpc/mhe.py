@@ -28,6 +28,9 @@ import weakref
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -109,6 +112,31 @@ class CryptoParams:
         return C.Ciphertext(r0[0], r1[0], ct.nmod, ct.scale)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _crp_sample(ctx, rows, batch: int, seed, idx):
+    """Counter-based uniform residues on device: threefry bits + 64->q fold
+    entirely in uint32 kernels (no host uint64 loop).  seed/idx are traced
+    so successive draws reuse one compiled kernel."""
+    t = _sel(ctx.basis, rows)
+    q, mu = t["q"][None], t["mu"][None]
+    seed_lo, seed_hi = seed
+    k = jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(seed_lo), seed_hi), idx
+    )
+    bits = jax.random.bits(
+        k, (2, batch, len(rows), ctx.n), dtype=jnp.uint32
+    )
+    hi, lo = bits[0], bits[1]
+    p32 = jnp.asarray(
+        np.array(
+            [(1 << 32) % ctx.basis.primes[r] for r in rows], np.uint32
+        )
+    )[None, :, None]
+    return add_mod(
+        mul_mod_barrett(hi % q, p32, q, mu), lo % q, q
+    )
+
+
 class CrpStream:
     """Common-reference polynomial stream.
 
@@ -128,7 +156,13 @@ class CrpStream:
         self.i = 0
 
     def uniform_b(self, ctx, rows, batch: int) -> np.ndarray:
-        """[batch, len(rows), N] uint32 residues (host array, frozen)."""
+        """[batch, len(rows), N] uint32 residues (host array, frozen).
+
+        Sampled with counter-based threefry ON DEVICE (bit-exact identical
+        on every backend, so all parties derive the same CRP), folding a
+        64-bit draw per residue: val = (hi*(2^32 mod q) + lo) mod q, with
+        the 32x32 products through the Barrett kernel (statistical distance
+        < 2^-38 from uniform for our < 2^26 primes)."""
         idx = self.i
         self.i += 1
         key = (self.seed, idx, tuple(rows), batch, ctx.n)
@@ -136,15 +170,18 @@ class CrpStream:
             hit = self._memo.get(key)
             if hit is not None:
                 return hit
-            rng = np.random.default_rng(np.random.Philox(key=[self.seed, idx]))
-            raw = np.asarray(
-                rng.bit_generator.random_raw(batch * len(rows) * ctx.n),
-                dtype=np.uint64,
-            ).reshape(batch, len(rows), ctx.n)
-            q = np.array(
-                [ctx.basis.primes[r] for r in rows], np.uint64
-            )[None, :, None]
-            val = (raw % q).astype(np.uint32)
+            val = np.asarray(
+                _crp_sample(
+                    ctx,
+                    tuple(rows),
+                    batch,
+                    (
+                        np.uint32(self.seed & 0xFFFFFFFF),
+                        np.uint32(self.seed >> 32),
+                    ),
+                    np.uint32(idx),
+                )
+            )
             val.flags.writeable = False
             self._memo[key] = val
             return val

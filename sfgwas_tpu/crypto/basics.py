@@ -367,3 +367,136 @@ def _cheby_one(net, cps, ct, coeffs, a, b, bootstrap_fn):
             acc = ctx.add(ctx.drop_to(acc, nm), ctx.drop_to(term, nm))
         t_prev, t_cur = t_cur, t_next
     return acc
+
+
+def evaluate_chebyshev_bsgs(net, cps, cv, coeffs, a, b, bootstrap_fn):
+    """Baby-step/giant-step Chebyshev evaluation, depth ~log2(deg) instead
+    of the linear T-recurrence: the reference evaluates its degree-62
+    sigmoid in one shot this way (mpc/mhe.go:617-673, lattigo
+    EvaluateCheby).  On PN14 (7 mult levels) degree 62 fits a single fresh
+    ciphertext; on shallow test presets `bootstrap_fn` refreshes mid-basis.
+
+    Scale exactness: every Chebyshev basis element T_k is steered to land
+    EXACTLY at the preset scale (mul_const_to on the recurrence's 2x), and
+    the recursion threads a target scale downward — the remainder branch is
+    computed at whatever scale the quotient*giant product actually landed
+    on, so every homomorphic add is scale-exact with no tolerance slack."""
+    return [
+        _cheby_bsgs_one(net, cps, ct, np.asarray(coeffs, float), a, b, bootstrap_fn)
+        for ct in cv
+    ]
+
+
+def _cheby_bsgs_one(net, cps, ct, coeffs, a, b, bootstrap_fn):
+    ctx = cps.ctx
+    tgt = ctx.params.scale
+    low = min(ctx.nq, ctx.params.base_nmod + 6)
+
+    def ensure(x):
+        if x.nmod < low:
+            return bootstrap_fn(net, cps, x, -1)
+        return x
+
+    deg = len(coeffs) - 1
+    while deg > 0 and abs(coeffs[deg]) < 1e-12:
+        deg -= 1
+    coeffs = coeffs[: deg + 1]
+
+    # normalized argument y = (2x - a - b)/(b - a), exactly at tgt
+    ct = ensure(ct)
+    y = ctx.rescale(ctx.mul_const_to(ct, 2.0 / (b - a), tgt))
+    y = ctx.add_const(y, (-a - b) / (b - a))
+
+    if deg == 0:
+        z = ctx.zero_ct(y.nmod)
+        return ctx.add_const(C.Ciphertext(z.c0, z.c1, y.nmod, y.scale), float(coeffs[0]))
+
+    # Chebyshev basis cache: every T_k built in depth log2(k) via
+    # T_{i+j} = 2 T_i T_j - T_{|i-j|}, each steered exactly to tgt
+    T = {1: y}
+
+    def getT(k: int):
+        if k in T:
+            return T[k]
+        i, j = k // 2, k - k // 2
+        ti = ensure(getT(i))
+        tj = ti if i == j else ensure(getT(j))
+        prod = ctx.rescale(ctx.mul_relin(ti, tj, cps.rlk))
+        prod2 = ctx.rescale(ctx.mul_const_to(prod, 2.0, tgt))
+        if i == j:
+            res = ctx.add_const(prod2, -1.0)  # T_0 = 1
+        else:
+            td = ensure(getT(j - i))
+            nm = min(prod2.nmod, td.nmod)
+            res = ctx.sub(ctx.drop_to(prod2, nm), ctx.drop_to(td, nm))
+        T[k] = res
+        return res
+
+    m = max(1, math.ceil(math.log2(deg + 1)))
+    nb = max(2, 1 << (m // 2))  # baby set: T_0..T_{nb-1} (nb>=2 so the
+    # split branch never picks p=0 on degree-1 polynomials)
+
+    def rec(c: np.ndarray, tscale: float):
+        """Evaluate sum c_j T_j; ciphertext result lands exactly at tscale.
+        Returns ('const', v) when the polynomial is constant."""
+        d = len(c) - 1
+        while d > 0 and abs(c[d]) < 1e-12:
+            d -= 1
+        c = c[: d + 1]
+        if d == 0:
+            return ("const", float(c[0]))
+        if d < nb:
+            acc = None
+            for j in range(d, 0, -1):
+                if abs(c[j]) < 1e-12:
+                    continue
+                term = ctx.rescale(
+                    ctx.mul_const_to(ensure(getT(j)), float(c[j]), tscale)
+                )
+                if acc is None:
+                    acc = term
+                else:
+                    nm = min(acc.nmod, term.nmod)
+                    acc = ctx.add(ctx.drop_to(acc, nm), ctx.drop_to(term, nm))
+            return ctx.add_const(acc, float(c[0]))
+        # split at the largest power of two p <= d:
+        # sum_{j>=p} c_j T_j = T_p * (c_p + sum_{j>p} 2 c_j T_{j-p})
+        #                      - sum_{j>p} c_j T_{2p-j}
+        p = 1 << (d.bit_length() - 1)
+        if p == d:
+            p >>= 1
+        q = np.zeros(d - p + 1)
+        q[0] = c[p]
+        q[1 : d - p + 1] = 2.0 * c[p + 1 : d + 1]
+        r = np.zeros(p)
+        r[: p] = c[:p]
+        for j in range(p + 1, d + 1):
+            r[2 * p - j] -= c[j]
+        qc = rec(q, tgt)
+        Tp = ensure(getT(p))
+        if isinstance(qc, tuple):
+            prod = ctx.rescale(ctx.mul_const_to(Tp, qc[1], tscale))
+        else:
+            nm = min(qc.nmod, Tp.nmod)
+            prod = ctx.rescale(
+                ctx.mul_relin(ctx.drop_to(qc, nm), ctx.drop_to(Tp, nm), cps.rlk)
+            )
+        prod = ensure(prod)
+        # remainder lands at the scale the product actually reached
+        rc = rec(r, prod.scale)
+        if isinstance(rc, tuple):
+            return ctx.add_const(prod, rc[1])
+        rc = ensure(rc)
+        if abs(rc.scale / prod.scale - 1.0) > 1e-9:
+            # a nested split returns at its own product scale; steer it to
+            # prod's EXACTLY (x1.0 at the compensating constant scale) so the
+            # join below is scale-exact rather than _SCALE_TOL-tolerated
+            rc = ensure(ctx.rescale(ctx.mul_const_to(rc, 1.0, prod.scale)))
+        nm = min(prod.nmod, rc.nmod)
+        return ctx.add(ctx.drop_to(prod, nm), ctx.drop_to(rc, nm))
+
+    out = rec(coeffs, tgt)
+    if isinstance(out, tuple):  # fully constant polynomial
+        z = ctx.zero_ct(y.nmod)
+        return ctx.add_const(C.Ciphertext(z.c0, z.c1, y.nmod, y.scale), out[1])
+    return out

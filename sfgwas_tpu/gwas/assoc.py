@@ -342,7 +342,7 @@ def compute_grad_and_inv_hessian(
         # collective path
         return mhe.bootstrap_mat_all(net, cps_, [[ct]])[0][0]
 
-    p_hat = B.evaluate_chebyshev_interactive(
+    p_hat = B.evaluate_chebyshev_bsgs(
         mpc.net, cps, cov_intercept, coeffs, a_lo, b_hi, _refresh_local
     )
     p_hat = mhe.bootstrap_mat_all(mpc.net, cps, [p_hat])[0]

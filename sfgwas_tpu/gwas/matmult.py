@@ -46,6 +46,16 @@ MM_LEVELS = 2
 # staged per call); one chunk is a run of whole giant groups of one block
 MM_CHUNK_BYTES = int(os.environ.get("SFGWAS_MM_CHUNK_BYTES", 256 * 1024 * 1024))
 
+# pipeline-wide device set for within-party chip sharding: when set (config
+# shard_matmult=true at protocol init), EVERY mat_mult_cached call without an
+# explicit devices= routes its MAC chunks over these chips (SURVEY.md §2.9)
+_pipeline_devices: Optional[list] = None
+
+
+def set_pipeline_devices(devices) -> None:
+    global _pipeline_devices
+    _pipeline_devices = list(devices) if devices and len(devices) > 1 else None
+
 
 def mm_nmod(cps: CryptoParams) -> int:
     return cps.params.base_nmod + 2 * MM_LEVELS
@@ -403,6 +413,8 @@ def mat_mult_cached(
     over the local chips by block column (bit-identical: exact modular
     arithmetic is associativity-safe)."""
     ctx = cps.ctx
+    if devices is None:
+        devices = _pipeline_devices
     nbr, nbc = len(cache), len(cache[0])
     s = len(A)
     some = next(

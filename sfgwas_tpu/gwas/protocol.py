@@ -56,6 +56,15 @@ class ProtocolInfo:
             config.mpc_boolean_shares,
             config.div_sqrt_max_len,
         )
+        if config.shard_matmult:
+            # within-party chip sharding: route every BSGS matmult's MAC
+            # chunks over this party's local devices (SURVEY.md §2.9)
+            import jax
+
+            from . import matmult as MM
+
+            MM.set_pipeline_devices(jax.local_devices())
+
         self.cps = None
         if not mpc_only:
             key_cache = None

@@ -98,6 +98,11 @@ class Config:
     cache_dir: str = "cache"
     local_num_threads: int = 1
     memory_limit: int = 0
+    # within-party chip sharding (SURVEY.md §2.9 TPU axis): distribute the
+    # BSGS matmult's block-column MAC chunks over this party's local devices
+    # (the TPU analogue of the reference's local_num_threads worker pool,
+    # config/configLocal.Party1.toml:22-24)
+    shard_matmult: bool = False
 
     debug: bool = False
 

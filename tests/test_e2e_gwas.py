@@ -63,6 +63,9 @@ def make_config(tmpdir, pid, skip_pca=True, logistic=False, cached=False,
     cfg.het_lb = 0.0
     cfg.het_ub = 1.0
     cfg.skip_pca = skip_pca
+    # exercise within-party chip sharding on the 8-virtual-device CPU mesh
+    # (exact modular arithmetic: results are bit-identical to single-device)
+    cfg.shard_matmult = True
     cfg.num_pcs_to_remove = 2
     cfg.num_oversampling = 2
     cfg.num_power_iters = 3

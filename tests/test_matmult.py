@@ -110,3 +110,43 @@ def test_mat_mult_sharded_matches_single_device():
     assert same, "sharded result differs from single-device"
     want = (Q @ X.astype(np.float64))[0]
     assert np.abs(got[:m] - want).max() < 1e-2
+
+def test_pipeline_device_routing():
+    """config.shard_matmult wiring: set_pipeline_devices makes the default
+    (devices=None) mat_mult_cached path route over the local mesh,
+    bit-identical to single-device; clearing it restores the default."""
+    import jax
+
+    rng = np.random.default_rng(17)
+    n, m = 100, 260
+    Q = rng.normal(size=(1, n)) * 0.5
+    X = rng.integers(0, 3, size=(n, m)).astype(np.int8)
+
+    def fn(mpc):
+        cps = mhe.collective_init(mpc.net, PRESET, shifts_override=_shifts())
+        if mpc.pid == 0:
+            return None
+        if mpc.pid == 1:
+            A = [[B.encrypt_float_vector(cps, Q[0])[0]]]
+        else:
+            A = [[None]]
+        A = [[mhe.broadcast_ciphertext(mpc.net, cps, A[0][0], 1)]]
+        cache = MM.preprocess_matrix(cps, X.astype(np.float64))
+        ref = MM.mat_mult_cached(cps, A, cache)
+        if mpc.pid == 1:
+            # module-global routing (protocol init does this for every party
+            # in-process; setting it once here exercises the same path)
+            MM.set_pipeline_devices(jax.local_devices())
+        try:
+            routed = MM.mat_mult_cached(cps, A, cache)
+        finally:
+            MM.set_pipeline_devices(None)
+        return all(
+            np.array_equal(np.asarray(a.c0), np.asarray(b.c0))
+            and np.array_equal(np.asarray(a.c1), np.asarray(b.c1))
+            for ra, rb in zip(ref, routed)
+            for a, b in zip(ra, rb)
+        )
+
+    res = run_parties(3, fn)
+    assert res[1] and res[2]

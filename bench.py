@@ -42,8 +42,9 @@ def production_matmult_throughput():
     nmod = MM.mm_nmod(cps)
     cache = MM.preprocess_matrix(cps, geno, nmod)
 
-    # rotation keys for exactly the shifts the plan needs (local keygen —
-    # the collective protocol produces the same key shapes)
+    # rotation keys for exactly the shifts the plan needs (local batched
+    # keygen, sliced to the matmult band and device-resident — the
+    # collective protocol produces the same key shapes)
     d = cache[0][0].d
     shifts = set()
     for row in cache:
@@ -53,10 +54,10 @@ def production_matmult_throughput():
             shifts.update(int(b) for b in blk.babies)
             shifts.update((int(g) * d) % params.slots for g in blk.giants)
     shifts.discard(0)
-    for s in sorted(shifts):
-        g = ctx.galois_for_rotation(s)
-        if g not in cps.rot_keys:
-            cps.rot_keys[g] = ctx.gen_rot_key(sk, g, rng)
+    gels = sorted({ctx.galois_for_rotation(s) for s in shifts})
+    cps.rot_keys.update(
+        ctx.gen_rot_keys_batched(sk, gels, rng, key_nmod=params.mm_nmod)
+    )
 
     ncols = 8  # [1s | 5 covs | +2] combined-Q column count
     Q = [

@@ -136,8 +136,9 @@ def rotate_right(cps, ct: C.Ciphertext, k: int) -> C.Ciphertext:
 
 
 def rotate_and_add(cps, ct: C.Ciphertext, size: int) -> C.Ciphertext:
-    """Log-rotation accumulate (crypto/basics.go:236-246)."""
-    out = ct.copy()
+    """Log-rotation accumulate (crypto/basics.go:236-246).  Clamped into the
+    rotation-key band up front (level drops are value-lossless)."""
+    out = cps.clamp_rot(ct)
     rot = 1
     while rot < size:
         out = cps.ctx.add(out, rotate_left(cps, out, rot))

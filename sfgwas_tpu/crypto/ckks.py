@@ -159,11 +159,13 @@ class CkksContext:
 
     def small_to_rns_b(self, smalls: np.ndarray, rows) -> jnp.ndarray:
         """Batched small_to_rns: [B, N] coeff-domain signed smalls ->
-        [B, len(rows), N] NTT-domain residues."""
-        q = np.array([self.basis.primes[r] for r in rows], np.int64)[None, :, None]
-        res = np.mod(smalls[:, None, :], q).astype(np.uint32)
-        out = ntt_b(
-            jnp.asarray(np.swapaxes(res, 0, 1)), self.basis, tuple(rows)
+        [B, len(rows), N] NTT-domain residues.  Residues computed on device
+        (|small| << q, so mod q is one conditional add -- the host int64
+        modulo loop this replaces dominated batched keygen)."""
+        out = _small_to_rns_b_dev(
+            jnp.asarray(np.ascontiguousarray(smalls, np.int32)),
+            self.basis,
+            tuple(rows),
         )
         return jnp.swapaxes(out, 0, 1)
 
@@ -270,6 +272,62 @@ class CkksContext:
     def gen_rot_key(self, sk: SecretKey, g: int, rng: np.random.Generator) -> KSwitchKey:
         s_g = self.automorphism(sk.s, g)
         return self.gen_kswitch_key(s_g, sk, rng)
+
+    def kswitch_share_many_sliced(self, s_tgt, s_diag_b, a, e, key_nmod: int):
+        """kswitch_share_many restricted to the first key_nmod digits and
+        rows (0..key_nmod-1, special).  Rotations only ever run at the
+        matmult working band, so keys need no more (and the device->host
+        readback a full key set would cost is ~100x slower than this
+        compute).  a, e: [B, key_nmod, key_nmod+1, N]."""
+        rows = tuple(range(key_nmod)) + (self.sp_row,)
+        t = _sel(self.basis, rows)
+        q, mu = t["q"][None, None], t["mu"][None, None]
+        st = s_tgt[jnp.asarray(rows)]
+        k0 = add_mod(
+            neg_mod(mul_mod_barrett(a, st[None, None], q, mu), q), e, q
+        )
+        terms = self._gadget_terms_b(s_diag_b)[:, :key_nmod]  # [B, kn, N]
+        diag = jnp.arange(key_nmod)
+        return k0.at[:, diag, diag].set(
+            add_mod(k0[:, diag, diag], terms, t["q"][None, :key_nmod])
+        )
+
+    def gen_rot_keys_batched(
+        self,
+        sk: SecretKey,
+        gels,
+        rng: np.random.Generator,
+        key_nmod: Optional[int] = None,
+        chunk: int = 16,
+    ) -> Dict[int, KSwitchKey]:
+        """Local (non-collective) rotation keygen for many Galois elements:
+        device-side uniform sampling, one fused share kernel per chunk,
+        keys kept DEVICE-resident sliced to key_nmod digits/rows."""
+        key_nmod = min(key_nmod or self.nq, self.nq)
+        rows = tuple(range(key_nmod)) + (self.sp_row,)
+        nr = len(rows)
+        seed = (
+            np.uint32(rng.integers(0, 1 << 32, dtype=np.uint64)),
+            np.uint32(rng.integers(0, 1 << 32, dtype=np.uint64)),
+        )
+        out: Dict[int, KSwitchKey] = {}
+        for c0 in range(0, len(gels), chunk):
+            gs = list(gels[c0 : c0 + chunk])
+            B = len(gs)
+            a = device_uniform_b(
+                self, rows, B * key_nmod, seed, np.uint32(c0)
+            ).reshape(B, key_nmod, nr, self.n)
+            e = self.small_to_rns_b(
+                np.stack(
+                    [self.sample_gauss(rng) for _ in range(B * key_nmod)]
+                ),
+                rows,
+            ).reshape(B, key_nmod, nr, self.n)
+            s_g = self.automorphism_many(sk.s, gs)
+            sh = self.kswitch_share_many_sliced(sk.s, s_g, a, e, key_nmod)
+            for i, g in enumerate(gs):
+                out[g] = KSwitchKey(sh[i], a[i])
+        return out
 
     # ---------------------------------------------------------- encode path
 
@@ -518,10 +576,12 @@ class CkksContext:
         ext_rows = tuple(range(nmod)) + (self.sp_row,)
         d_coeff = ntt(d, self.basis, tuple(range(nmod)), inverse=True)
         ext = self._extend_multi(d_coeff, tuple(range(nmod)), ext_rows)
-        flat_rows = ext_rows * nmod
-        return ntt(
-            ext.reshape(nmod * len(ext_rows), self.n), self.basis, flat_rows
-        ).reshape(nmod, len(ext_rows), self.n)
+        # batched NTT sharing twiddles per prime row (the digit axis is the
+        # batch): constants stay [len(ext_rows), N] instead of the row-
+        # replicated [nmod*len(ext_rows), N] tables
+        return ntt_b(ext.transpose(1, 0, 2), self.basis, ext_rows).transpose(
+            1, 0, 2
+        )
 
     def keyswitch_decomposed(self, ext_ntt, ksk: KSwitchKey, nmod: int):
         return self._keyswitch_decomposed_arr(ext_ntt, ksk.d0, ksk.d1, nmod)
@@ -572,10 +632,14 @@ class CkksContext:
         ext = self._extend_multi(
             d_coeff, tuple(range(nmod)), ext_rows
         )  # [nmod, next, B, N] coeff domain
+        # prime rows lead so twiddle constants stay [next, N] (not the
+        # digit-replicated [nmod*next, N] tables)
         ext = rns.ntt_b(
-            ext.reshape(nmod * next_, bsz, self.n), self.basis, ext_rows * nmod
-        ).reshape(nmod, next_, bsz, self.n)
-        return jnp.transpose(ext, (2, 0, 1, 3))
+            jnp.transpose(ext, (1, 0, 2, 3)).reshape(next_, nmod * bsz, self.n),
+            self.basis,
+            ext_rows,
+        ).reshape(next_, nmod, bsz, self.n)
+        return jnp.transpose(ext, (2, 1, 0, 3))
 
     @_ctxjit(4)
     def keyswitch_decomposed_b(self, ext, k0, k1, nmod: int):
@@ -712,7 +776,7 @@ class CkksContext:
         # host NTT of X^1 on prime 0 (same butterfly as device ntt)
         x = np.zeros(n, dtype=object)
         x[1] = 1
-        psi_rev = np.asarray(self.basis.psi_rev[0]).astype(object)
+        psi_rev = self.basis._np["psi"][0].astype(object)
         m = 1
         x = x.copy()
         while m < n:
@@ -737,10 +801,12 @@ class CkksContext:
             return self._perm_cache[g]
         exps = self._exps_table()
         two_n = 2 * self.n
-        pos_of = {int(e): i for i, e in enumerate(exps)}
-        perm = np.array(
-            [pos_of[(int(e) * g) % two_n] for e in exps], dtype=np.int32
-        )
+        inv = getattr(self, "_exp_pos", None)
+        if inv is None:
+            inv = np.zeros(two_n, np.int32)
+            inv[np.asarray(exps, np.int64)] = np.arange(self.n, dtype=np.int32)
+            self._exp_pos = inv
+        perm = inv[(np.asarray(exps, np.int64) * g) % two_n]
         out = jnp.asarray(perm)
         self._perm_cache[g] = out
         return out
@@ -831,3 +897,36 @@ class CkksContext:
         nmod = nmod or self.nq
         z = jnp.zeros((nmod, self.n), jnp.uint32)
         return Ciphertext(z, z, nmod, self.params.scale)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def device_uniform_b(ctx: CkksContext, rows, batch: int, seed, idx):
+    """Counter-based uniform residues on device: threefry bits + 64->q fold
+    entirely in uint32 kernels (no host uint64 loop).  seed/idx are traced
+    so successive draws reuse one compiled kernel.  Deterministic per
+    (seed, idx, rows, batch): parties sharing a seed derive identical
+    values on any backend (the CRP property)."""
+    t = _sel(ctx.basis, rows)
+    q, mu = t["q"][None], t["mu"][None]
+    seed_lo, seed_hi = seed
+    k = jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(seed_lo), seed_hi), idx
+    )
+    bits = jax.random.bits(k, (2, batch, len(rows), ctx.n), dtype=jnp.uint32)
+    hi, lo = bits[0], bits[1]
+    p32 = jnp.asarray(
+        np.array([(1 << 32) % ctx.basis.primes[r] for r in rows], np.uint32)
+    )[None, :, None]
+    return add_mod(mul_mod_barrett(hi % q, p32, q, mu), lo % q, q)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _small_to_rns_b_dev(smalls, basis, rows):
+    """[B, N] int32 smalls (|v| < q for every row prime) -> [L, B, N] uint32
+    NTT-domain residues."""
+    t = _sel(basis, rows)
+    q = t["q"][:, :, None].astype(jnp.int32)  # [L, 1, 1]
+    v = smalls[None]  # [1, B, N]
+    res = jnp.where(v < 0, v + q, v).astype(jnp.uint32)
+    res = jnp.broadcast_to(res, (len(rows),) + smalls.shape)
+    return ntt_b(res, basis, rows)

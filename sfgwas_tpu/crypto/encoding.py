@@ -39,6 +39,10 @@ class Encoder:
         self.pos_conj = ((conj - 1) // 2).astype(np.int64)
         self.psi = np.exp(1j * np.pi * np.arange(n) / n)
         self.psi_inv = np.conj(self.psi)
+        # folded real/imag twiddles for the batched encode:
+        # real(fft(A)/n * psi_inv) = re(fft)*re(psi_inv)/n - im(fft)*im(psi_inv)/n
+        self.psi_inv_re_over_n = np.real(self.psi_inv) / n
+        self.psi_inv_im_over_n = -np.imag(self.psi_inv) / n
 
     # ------------------------------------------------------------- float path
 

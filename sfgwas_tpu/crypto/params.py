@@ -26,6 +26,10 @@ class PresetSpec:
     base_primes: int = 3
 
 
+# working levels of the BSGS matmult band (see CkksParams.mm_nmod)
+MM_LEVELS = 2
+
+
 # level counts sized so total log(QP) stays in the preset's security budget
 PRESETS: Dict[str, PresetSpec] = {
     "PN12QP109": PresetSpec(logn=12, levels=1, prime_bits=18, base_primes=2),
@@ -65,6 +69,14 @@ class CkksParams:
     @property
     def max_nmod(self) -> int:
         return self.nq
+
+    @property
+    def mm_nmod(self) -> int:
+        """The matmult working band (the analogue of the reference's
+        hardcoded maxLevel=5, gwas/pca.go:112): base primes + 2 levels.
+        Rotation keys are generated/stored sliced to this band -- every
+        rotation-bearing op clamps here first (crypto/basics.py)."""
+        return min(self.nq, self.base_nmod + 2 * MM_LEVELS)
 
     def max_level(self) -> int:
         return self.spec.levels

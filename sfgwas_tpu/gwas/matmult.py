@@ -36,11 +36,12 @@ from ..crypto import basics as B
 from ..crypto import ckks as C
 from ..mpc import mhe
 from ..mpc.mhe import CryptoParams
-from ..ops.rns import _mulhi32, _sel, add_mod, mul_mod_barrett, ntt, sub_mod
+from ..ops.rns import _mulhi32, _sel, add_mod, mul_mod_barrett, ntt_b, sub_mod
 
 # matmult working level: base + 2 levels (the analogue of the reference's
-# hardcoded maxLevel=5 at gwas/pca.go:112 and gwas/assoc.go:395)
-MM_LEVELS = 2
+# hardcoded maxLevel=5 at gwas/pca.go:112 and gwas/assoc.go:395); the
+# single source is crypto/params.py, which also sizes the rotation keys
+from ..crypto.params import MM_LEVELS
 
 # per-chunk device budget for the fused MAC kernel (bytes of diagonal polys
 # staged per call); one chunk is a run of whole giant groups of one block
@@ -72,30 +73,110 @@ class DiagBlock:
         self.d = d
 
 
-def _encode_diag_batch(cps: CryptoParams, vecs: np.ndarray, nmod: int) -> np.ndarray:
+try:  # multithreaded host FFT when torch is available (numpy's is 1-thread)
+    import torch as _torch
+
+    _torch.set_num_threads(max(1, os.cpu_count() or 1))
+except Exception:  # pragma: no cover
+    _torch = None
+
+_enc_scratch = __import__("threading").local()
+
+
+def _scratch(key, shape, dtype) -> np.ndarray:
+    """Reusable host buffers: avoids re-faulting fresh pages per block.
+    Thread-local -- party threads in local-sim encode concurrently."""
+    d = getattr(_enc_scratch, "d", None)
+    if d is None:
+        d = _enc_scratch.d = {}
+    buf = d.get(key)
+    if buf is None or buf.shape != shape or buf.dtype != dtype:
+        buf = np.zeros(shape, dtype)
+        d[key] = buf
+    return buf
+
+
+@functools.partial(jax.jit, static_argnames=("basis", "rows"))
+def _mod_ntt_b(hi, lo, basis, rows):
+    """Device half of the plaintext encode: integer coefficients arrive as
+    hi*2^31 + lo (hi int32 signed with |hi| < q, lo uint32 < 2^31); reduce
+    per prime row and NTT.  hi/lo: [B, N] -> [nrows, B, N] uint32 polys.
+    No integer division anywhere: TPU int remainder lowers to a long
+    division sequence; u32 Barrett + conditional adds replace it."""
+    t = _sel(basis, rows)
+    q = t["q"][:, :, None]  # [L, 1, 1]
+    mu = t["mu"][:, :, None]
+    qs = np.asarray(t["q"][:, 0])
+    r31 = jnp.asarray(
+        [(1 << 31) % int(v) for v in qs], jnp.uint32
+    )[:, None, None]
+    m32 = jnp.asarray(
+        [(1 << 32) // int(v) for v in qs], jnp.uint32
+    )[:, None, None]
+    # |hi| < q: one conditional add
+    hb = hi[None]
+    hi_m = jnp.where(hb < 0, hb + q.astype(jnp.int32), hb).astype(jnp.uint32)
+    # lo < 2^31: u32 Barrett, result < 3q -> two conditional subtracts
+    x = lo[None]
+    qhat = _mulhi32(x, m32)
+    r = x - qhat * q
+    r = jnp.where(r >= q, r - q, r)
+    lo_m = jnp.where(r >= q, r - q, r)
+    v = add_mod(mul_mod_barrett(hi_m, r31, q, mu), lo_m, q)
+    return ntt_b(v, basis, rows)
+
+
+def _encode_diag_batch(cps: CryptoParams, vecs: np.ndarray, nmod: int):
     """Batched encode of float diagonal vectors [K, slots] -> NTT polys
-    [K, nmod, N] uint32."""
+    [K, nmod, N] uint32, DEVICE-resident.
+
+    Split host/device: the canonical-embedding FFT runs on the host (f64
+    precision XLA lacks), the per-prime modular reduction + NTT on the
+    device; only int32 coefficient pairs cross host->device (the tunnel's
+    fast direction -- device->host readback is ~100x slower, so encoded
+    polys never come back)."""
     ctx = cps.ctx
     enc = ctx.encoder
     n = ctx.n
     K = vecs.shape[0]
     scale = ctx.params.scale
-    A = np.zeros((K, n), dtype=np.complex128)
-    A[:, enc.pos] = vecs
-    A[:, enc.pos_conj] = vecs  # real data: conjugate = itself
-    a = np.fft.fft(A, axis=1) / n * enc.psi_inv[None, :]
-    coeffs = np.round(np.real(a) * scale).astype(np.int64)
-    out = np.zeros((K, nmod, n), dtype=np.uint32)
-    for i in range(nmod):
-        q = ctx.params.q_primes[i]
-        out[:, i, :] = np.mod(coeffs, q).astype(np.uint32)
-    rows = tuple(range(nmod)) * K
-    polys = ntt(
-        jnp.asarray(out.reshape(K * nmod, n)), ctx.basis, rows
-    ).reshape(K, nmod, n)
-    # host-resident: diagonal caches can exceed HBM at production scale; the
-    # fused MAC kernel stages them chunk-by-chunk (MM_CHUNK_BYTES)
-    return np.asarray(polys)
+    rows = tuple(range(nmod))
+    step = 1024
+    A = _scratch(("encA", n), (step, n), np.float64)
+    outs = []
+    use_torch = _torch is not None
+    if use_torch:
+        tw_re = _torch.from_numpy(enc.psi_inv_re_over_n * scale)
+        tw_im = _torch.from_numpy(enc.psi_inv_im_over_n * scale)
+    for k0 in range(0, K, step):
+        kc = min(step, K - k0)
+        A[:] = 0
+        A[:kc, enc.pos] = vecs[k0 : k0 + kc]
+        A[:kc, enc.pos_conj] = vecs[k0 : k0 + kc]  # real data: conj = itself
+        if use_torch:
+            # A is real-valued: fft of real input, multithreaded host fold
+            a = _torch.fft.fft(_torch.from_numpy(A), dim=1)
+            coeffs = a.real * tw_re
+            coeffs += a.imag * tw_im
+            coeffs = _torch.round_(coeffs)
+            hi_t = _torch.floor(coeffs * (1.0 / (1 << 31)))
+            lo = (coeffs - hi_t * float(1 << 31)).to(_torch.int64).numpy()
+            lo = lo.astype(np.uint32)
+            hi = hi_t.to(_torch.int32).numpy()
+        else:
+            a = np.fft.fft(A, axis=1)
+            coeffs = np.real(a)
+            coeffs *= enc.psi_inv_re_over_n * scale
+            coeffs += np.imag(a) * (enc.psi_inv_im_over_n * scale)
+            np.round(coeffs, out=coeffs)
+            hi_f = np.floor(coeffs * (1.0 / (1 << 31)))
+            lo = (coeffs - hi_f * float(1 << 31)).astype(np.uint32)
+            hi = hi_f.astype(np.int32)
+        poly = _mod_ntt_b(
+            jnp.asarray(hi), jnp.asarray(lo), ctx.basis, rows
+        )  # [nmod, step, n]
+        outs.append(poly[:, :kc] if kc < step else poly)
+    return jnp.concatenate(outs, axis=1).transpose(1, 0, 2)  # [K, nmod, n]
 
 
 def encode_block_diagonals(
@@ -103,34 +184,31 @@ def encode_block_diagonals(
 ) -> DiagBlock:
     """Extract + encode all nonzero generalized diagonals of one block
     (gwas/matmult.go:636-709 semantics): diag for shift s is
-    d_s[j] = X[(j+s) mod S, j], pre-rotated right by d*giant."""
+    d_s[j] = X[(j+s) mod S, j], pre-rotated right by d*giant.
+
+    Vectorized: entry (i, j) lands on diagonal s = (i-j) mod S at final slot
+    (j + (s//d)*d) mod S; one scatter builds every pre-rotated diagonal."""
     S = cps.slots
     d = int(math.ceil(math.sqrt(S)))
     r, c = block.shape
     assert r <= S and c <= S
-    Xf = block.astype(np.float64)
-    giants, babies, vecs = [], [], []
-    j_idx = np.arange(c)
-    for s in range(S):
-        rows_idx = (j_idx + s) % S
-        valid = rows_idx < r
-        if not valid.any():
-            continue
-        diag = np.zeros(S)
-        jv = j_idx[valid]
-        diag[jv] = Xf[rows_idx[valid], jv]
-        if not np.any(diag):
-            continue
-        giant, baby = s // d, s % d
-        # pre-rotate right by giant*d (gwas/matmult.go:855 nrot)
-        diag = np.roll(diag, giant * d)
-        giants.append(giant)
-        babies.append(baby)
-        vecs.append(diag)
-    if not vecs:
-        return DiagBlock([], [], None, d)
-    polys = _encode_diag_batch(cps, np.stack(vecs), nmod)
-    return DiagBlock(giants, babies, polys, d)
+    # structural shift set: s = (i-j) mod S for i<r, j<c is exactly
+    # [0, r) union [S-c+1, S); all-zero diagonals among them are kept (one
+    # wasted poly row each -- rare for genotype data and harmless)
+    shifts = np.concatenate(
+        [np.arange(r), np.arange(max(S - c + 1, r), S)]
+    ).astype(np.int64)
+    rank = np.zeros(S, np.int64)
+    rank[shifts] = np.arange(len(shifts))
+    i_idx = np.arange(r, dtype=np.int64)[:, None]
+    j_idx = np.arange(c, dtype=np.int64)[None, :]
+    s_idx = (i_idx - j_idx) % S  # [r, c] diagonal shift per entry
+    col = (j_idx + (s_idx // d) * d) % S  # pre-rotated slot position
+    vecs = _scratch(("diagvecs", S, len(shifts)), (len(shifts), S), np.float64)
+    vecs[:] = 0.0
+    vecs[rank[s_idx], col] = block  # (s, col) pairs are unique per (i, j)
+    polys = _encode_diag_batch(cps, vecs, nmod)
+    return DiagBlock(shifts // d, shifts % d, polys, d)
 
 
 def preprocess_matrix(
@@ -155,7 +233,11 @@ def preprocess_matrix(
                 encode_block_diagonals(cps, mat[bi : bi + S, bj : bj + S], nmod)
             )
         out.append(row)
-    if cache_file:
+    if cache_file and os.environ.get("SFGWAS_DIAG_DISK_CACHE"):
+        # disk spill is opt-in: it exists for PCA restarts (the reference's
+        # DiagCacheStream), but writing it costs a device->host pull of the
+        # whole cache (~8 MB/s through the tunnel); within-run reuse is
+        # served by the device-resident polys instead
         _save_diag_cache(cache_file, out)
     return out
 
@@ -330,13 +412,23 @@ class _MatmulPlan:
             seg2 = c.pop("seg_local") * self.nsub + pos // self.max_lazy
             pad = self.k_pad - K
             if pad:
-                c["P"] = np.concatenate(
-                    [c["P"], np.zeros((pad,) + c["P"].shape[1:], np.uint32)]
-                )
                 seg2 = np.concatenate(
                     [seg2, np.full(pad, self.nseg_pad * self.nsub, np.int64)]
                 )
                 c["bidx"] = np.concatenate([c["bidx"], np.zeros(pad, np.int64)])
+            polys = c["blk"].polys
+            if isinstance(polys, np.ndarray):
+                # host-resident cache: materialize the padded chunk once
+                P = polys[c["k0"] : c["k1"]]
+                if pad:
+                    P = np.concatenate(
+                        [P, np.zeros((pad,) + P.shape[1:], np.uint32)]
+                    )
+                c["P"] = P
+                del c["blk"]
+            # device-resident polys: chunks stay as (blk, k0, k1) slices,
+            # materialized per call (device-device copies are cheap; a
+            # second padded copy of a multi-GB cache is not)
             c["seg2"] = jnp.asarray(seg2, dtype=np.int32)
             c["bidx"] = jnp.asarray(c["bidx"], dtype=np.int32)
             gidx = np.asarray(c.pop("seg_gidx"))
@@ -346,7 +438,7 @@ class _MatmulPlan:
                 ).astype(np.int32)
             )
             c["nseg"] = self.nseg_pad
-            total_bytes += c["P"].nbytes
+            total_bytes += K * nmod * cps.ctx.n * 4
         # stage diagonal polys on-device once when the whole cache fits the
         # budget (they are reused across rows / power iterations); else
         # stream per call
@@ -354,6 +446,23 @@ class _MatmulPlan:
             os.environ.get("SFGWAS_MM_STAGE_BYTES", 6 * 1024**3)
         )
         self.staged: Dict[int, jnp.ndarray] = {}
+
+    def chunk_P(self, c):
+        """Padded diagonal polys of a chunk.  Host chunks were materialized
+        at plan build; device chunks slice+pad on the fly."""
+        if "P" in c:
+            return c["P"]
+        polys = c["blk"].polys
+        k0, k1 = c["k0"], c["k1"]
+        pad = self.k_pad - (k1 - k0)
+        if pad == 0 and k0 == 0 and k1 == polys.shape[0]:
+            return polys
+        P = polys[k0:k1]
+        if pad:
+            P = jnp.concatenate(
+                [P, jnp.zeros((pad,) + tuple(P.shape[1:]), jnp.uint32)]
+            )
+        return P
 
     def _chunk(self, blk: DiagBlock, bj: int, k0: int, k1: int, bpos) -> dict:
         giants = blk.giants[k0:k1]
@@ -367,7 +476,9 @@ class _MatmulPlan:
             pos[x] = run.get(g, 0)
             run[g] = pos[x] + 1
         return {
-            "P": blk.polys[k0:k1],
+            "blk": blk,
+            "k0": k0,
+            "k1": k1,
             "bidx": np.array([bpos[int(b)] for b in blk.babies[k0:k1]]),
             "seg_local": seg_local,
             "pos_in_group": pos,
@@ -475,9 +586,9 @@ def mat_mult_cached(
             for c in plan.chunks[bi]:
                 if multi:
                     dv = dev_of_bj[c["bj"]]
-                    key = id(c["P"])
+                    key = id(c)
                     if key not in staged:
-                        staged[key] = jax.device_put(jnp.asarray(c["P"]), dv)
+                        staged[key] = jax.device_put(plan.chunk_P(c), dv)
                     a0, a1 = _mac_chunk(
                         jax.device_put(R0, dv), jax.device_put(R1, dv),
                         staged[key],
@@ -488,7 +599,7 @@ def mat_mult_cached(
                     )
                     a0 = jax.device_put(a0, devices[0])
                     a1 = jax.device_put(a1, devices[0])
-                else:
+                elif "P" in c:  # host-resident chunk: stage within budget
                     key = id(c["P"])
                     P = plan.staged.get(key)
                     if P is None:
@@ -497,6 +608,11 @@ def mat_mult_cached(
                             plan.staged[key] = P
                     a0, a1 = _mac_chunk(
                         R0, R1, P, c["bidx"], c["seg2"],
+                        q, mu, m32, nseg=c["nseg"], nsub=plan.nsub,
+                    )
+                else:  # device-resident polys: slice+pad per call
+                    a0, a1 = _mac_chunk(
+                        R0, R1, plan.chunk_P(c), c["bidx"], c["seg2"],
                         q, mu, m32, nseg=c["nseg"], nsub=plan.nsub,
                     )
                 gi = c["seg_gidx"]

@@ -73,20 +73,47 @@ class CryptoParams:
     # on-device
     _KSTACK_BUDGET = int(os.environ.get("SFGWAS_KSTACK_BYTES", 4 * 1024**3))
 
+    @property
+    def rot_nmod(self) -> int:
+        """Highest level rotation keys exist for.  Keys are generated and
+        stored SLICED to the matmult working band (mm_nmod): rotations only
+        ever run there (rotation-bearing ops clamp first), which cuts the
+        PN14 key set from ~11 GB to ~2 GB and keeps it device-resident."""
+        if not self.rot_keys:
+            return self.ctx.nq
+        any_key = next(iter(self.rot_keys.values()))
+        return int(any_key.d0.shape[0])
+
+    def clamp_rot(self, ct: C.Ciphertext) -> C.Ciphertext:
+        """Drop a ciphertext into the rotation-key band (level drops are
+        value-lossless)."""
+        band = self.rot_nmod
+        return self.ctx.drop_to(ct, band) if ct.nmod > band else ct
+
     def stacked_keys(self, gelems, nmod: int):
         """Rotation keys for the given Galois elements, stacked and sliced to
         the active level: ([B, nmod, nmod+1, N], [B, ...]) device arrays for
         the batched keyswitch (ckks.keyswitch_decomposed_b).  Cached per
-        (gelems, nmod) -- the BSGS baby/giant sets recur every matmult."""
+        (gelems, nmod) -- the BSGS baby/giant sets recur every matmult.
+
+        Keys are stored pre-sliced to [rot_nmod, rot_nmod+1, N] (their sp
+        row is the LAST row of the stored slice)."""
+        assert nmod <= self.rot_nmod, (
+            f"rotation at nmod={nmod} above the key band {self.rot_nmod}; "
+            "clamp the ciphertext first (clamp_rot)"
+        )
         key = (tuple(gelems), nmod)
         if key not in self._kstack:
-            idx = np.asarray(tuple(range(nmod)) + (self.ctx.sp_row,))
+            some = self.rot_keys[gelems[0]]
+            ridx = np.asarray(
+                tuple(range(nmod)) + (int(some.d0.shape[1]) - 1,)
+            )
             d0 = jnp.stack(
-                [jnp.asarray(np.asarray(self.rot_keys[g].d0)[:nmod][:, idx])
+                [jnp.asarray(self.rot_keys[g].d0)[:nmod][:, ridx]
                  for g in gelems]
             )
             d1 = jnp.stack(
-                [jnp.asarray(np.asarray(self.rot_keys[g].d1)[:nmod][:, idx])
+                [jnp.asarray(self.rot_keys[g].d1)[:nmod][:, ridx]
                  for g in gelems]
             )
             used = sum(a.nbytes + b.nbytes for a, b in self._kstack.values())
@@ -100,6 +127,7 @@ class CryptoParams:
         k = k % self.slots
         if k == 0:
             return ct.copy()
+        ct = self.clamp_rot(ct)
         g = self.ctx.galois_for_rotation(k)
         d0, d1 = self.stacked_keys([g], ct.nmod)
         r0, r1 = self.ctx.rotate_batch(ct.c0[None], ct.c1[None], [g], d0, d1, ct.nmod)
@@ -107,34 +135,13 @@ class CryptoParams:
 
     def conjugate(self, ct: C.Ciphertext) -> C.Ciphertext:
         g = self.ctx.galois_conjugate()
+        ct = self.clamp_rot(ct)
         d0, d1 = self.stacked_keys([g], ct.nmod)
         r0, r1 = self.ctx.rotate_batch(ct.c0[None], ct.c1[None], [g], d0, d1, ct.nmod)
         return C.Ciphertext(r0[0], r1[0], ct.nmod, ct.scale)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _crp_sample(ctx, rows, batch: int, seed, idx):
-    """Counter-based uniform residues on device: threefry bits + 64->q fold
-    entirely in uint32 kernels (no host uint64 loop).  seed/idx are traced
-    so successive draws reuse one compiled kernel."""
-    t = _sel(ctx.basis, rows)
-    q, mu = t["q"][None], t["mu"][None]
-    seed_lo, seed_hi = seed
-    k = jax.random.fold_in(
-        jax.random.fold_in(jax.random.PRNGKey(seed_lo), seed_hi), idx
-    )
-    bits = jax.random.bits(
-        k, (2, batch, len(rows), ctx.n), dtype=jnp.uint32
-    )
-    hi, lo = bits[0], bits[1]
-    p32 = jnp.asarray(
-        np.array(
-            [(1 << 32) % ctx.basis.primes[r] for r in rows], np.uint32
-        )
-    )[None, :, None]
-    return add_mod(
-        mul_mod_barrett(hi % q, p32, q, mu), lo % q, q
-    )
+_crp_sample = C.device_uniform_b  # counter-based device uniform (ckks.py)
 
 
 class CrpStream:
@@ -155,14 +162,16 @@ class CrpStream:
         self.seed = int(seed) & ((1 << 64) - 1)
         self.i = 0
 
-    def uniform_b(self, ctx, rows, batch: int) -> np.ndarray:
-        """[batch, len(rows), N] uint32 residues (host array, frozen).
+    def uniform_b(self, ctx, rows, batch: int):
+        """[batch, len(rows), N] uint32 residues, DEVICE-resident.
 
         Sampled with counter-based threefry ON DEVICE (bit-exact identical
         on every backend, so all parties derive the same CRP), folding a
         64-bit draw per residue: val = (hi*(2^32 mod q) + lo) mod q, with
         the 32x32 products through the Barrett kernel (statistical distance
-        < 2^-38 from uniform for our < 2^26 primes)."""
+        < 2^-38 from uniform for our < 2^26 primes).  Colocated parties
+        (local-sim threads) share ONE device buffer per draw through the
+        process-wide memo; jax arrays are immutable so sharing is safe."""
         idx = self.i
         self.i += 1
         key = (self.seed, idx, tuple(rows), batch, ctx.n)
@@ -170,19 +179,16 @@ class CrpStream:
             hit = self._memo.get(key)
             if hit is not None:
                 return hit
-            val = np.asarray(
-                _crp_sample(
-                    ctx,
-                    tuple(rows),
-                    batch,
-                    (
-                        np.uint32(self.seed & 0xFFFFFFFF),
-                        np.uint32(self.seed >> 32),
-                    ),
-                    np.uint32(idx),
-                )
+            val = _crp_sample(
+                ctx,
+                tuple(rows),
+                batch,
+                (
+                    np.uint32(self.seed & 0xFFFFFFFF),
+                    np.uint32(self.seed >> 32),
+                ),
+                np.uint32(idx),
             )
-            val.flags.writeable = False
             self._memo[key] = val
             return val
 
@@ -222,6 +228,7 @@ def collective_init(
     extra_shifts: Optional[List[int]] = None,
     shifts_override: Optional[List[int]] = None,
     key_cache: Optional[str] = None,
+    rot_key_nmod: Optional[int] = None,
 ) -> CryptoParams:
     """Interactive collective key generation (mpc/mhe.go:24-81).
     shifts_override replaces the default rotation-key set (tests / reduced
@@ -273,12 +280,14 @@ def collective_init(
     if extra_shifts:
         shifts = sorted(set(shifts) | set(s % params.slots for s in extra_shifts))
     gelems = sorted({ctx.galois_for_rotation(s) for s in shifts} | {ctx.galois_conjugate()})
+    key_nmod = rot_key_nmod or ctx.params.mm_nmod
     chunk = 8
     for c0 in range(0, len(gelems), chunk):
         log(f"pid{pid} rotkeys {c0}/{len(gelems)}")
         rot_keys.update(
             collective_rotkey_gen_many(
-                net, ctx, sk, gelems[c0 : c0 + chunk], crp_rng, chunk
+                net, ctx, sk, gelems[c0 : c0 + chunk], crp_rng, chunk,
+                key_nmod=key_nmod,
             )
         )
     log(f"pid{pid} collective init done")
@@ -304,7 +313,8 @@ def collective_init(
 def _aggregate_mod(net: Network, ctx: C.CkksContext, x, rows):
     """Aggregate NTT-domain residue arrays modularly across data parties
     (party 0 excluded, mirroring the pid>0 guards of mpc/aggregate.go),
-    hub-rooted."""
+    hub-rooted.  Arrays stay on-device end to end over the zero-copy local
+    transport (readback through the tunnel is ~100x slower than upload)."""
     if net.pid == 0:
         return jnp.asarray(x)
     t = _sel(ctx.basis, rows)
@@ -312,7 +322,7 @@ def _aggregate_mod(net: Network, ctx: C.CkksContext, x, rows):
     def add_fn(a, b):
         return add_mod(jnp.asarray(a), jnp.asarray(b), t["q"])
 
-    out = net.aggregate(np.asarray(x), add_fn)
+    out = net.aggregate(x, add_fn)
     return jnp.asarray(out)
 
 
@@ -377,16 +387,25 @@ def collective_relin_keygen(net: Network, ctx, sk, crp_rng) -> C.KSwitchKey:
 
 
 def collective_rotkey_gen_many(
-    net: Network, ctx, sk, gelems, crp_rng, chunk: int = 8
+    net: Network, ctx, sk, gelems, crp_rng, chunk: int = 8,
+    key_nmod: Optional[int] = None,
 ) -> Dict[int, C.KSwitchKey]:
     """RTG for many Galois elements (mpc/mhe.go:381-476): each party's share
     is a switching key from sigma_g(s_i) to s_i summed across parties.  All
     digits of a key are generated in one batched pass, and `chunk` keys share
     one aggregation round (the reference parallelizes over goroutines;
-    batching serves the same end with ~beta*chunk fewer messages)."""
-    rows = ctx.full_rows
+    batching serves the same end with ~beta*chunk fewer messages).
+
+    key_nmod restricts each key to its first key_nmod digits and rows
+    (0..key_nmod-1, special): rotations only ever run at the matmult
+    working band (every rotation-bearing op clamps there, basics.py), so
+    generating and holding the full [nq, nq+1, N] gadget is pure waste --
+    a full PN14 set is ~11 GB while the sliced set is ~2 GB and lives
+    entirely on-device (no device->host readback, VERDICT.md next #4)."""
+    key_nmod = min(key_nmod or ctx.nq, ctx.nq)
+    rows = tuple(range(key_nmod)) + (ctx.sp_row,)
     pid = net.pid
-    nq, nfull, n = ctx.nq, ctx.nq + 1, ctx.n
+    nr, n = len(rows), ctx.n
     rng = np.random.default_rng()
     out: Dict[int, C.KSwitchKey] = {}
     for c0 in range(0, len(gelems), chunk):
@@ -397,33 +416,34 @@ def collective_rotkey_gen_many(
             # ciphertext (its ops mirror on dummies); skip the CRP draws and
             # share compute entirely.  Its crp_rng desyncs here, which is
             # safe: all later shared randomness uses fresh per-call seeds.
-            d0 = np.zeros((B, nq, nfull, n), np.uint32)
+            z = jnp.zeros((key_nmod, nr, n), jnp.uint32)
             for g_el in gs:
-                out[g_el] = C.KSwitchKey(
-                    np.zeros((nq, nfull, n), np.uint32),
-                    np.zeros((nq, nfull, n), np.uint32),
-                )
+                out[g_el] = C.KSwitchKey(z, z)
             continue
         # whole chunk in batched kernels: one CRP draw, one noise batch, one
         # stacked automorphism, one fused share kernel
-        a_all = crp_rng.uniform_b(ctx, rows, B * nq).reshape(B, nq, nfull, n)
-        e_all = ctx.small_to_rns_b(_gauss_b(ctx, rng, B * nq), rows).reshape(
-            B, nq, nfull, n
+        a_all = crp_rng.uniform_b(ctx, rows, B * key_nmod).reshape(
+            B, key_nmod, nr, n
         )
-        s_g = ctx.automorphism_many(sk.s, gs)  # [B, nfull, n]
-        shares = ctx.kswitch_share_many(sk.s, s_g, a_all, e_all)
+        e_all = ctx.small_to_rns_b(
+            _gauss_b(ctx, rng, B * key_nmod), rows
+        ).reshape(B, key_nmod, nr, n)
+        s_g = ctx.automorphism_many(sk.s, gs)  # [B, nq+1, n]
+        shares = ctx.kswitch_share_many_sliced(sk.s, s_g, a_all, e_all, key_nmod)
         d0 = _aggregate_mod(net, ctx, shares, rows)
-        d0 = np.asarray(d0)
-        a_np = np.asarray(a_all)
         for i, g_el in enumerate(gs):
-            # host-resident: the full key set exceeds HBM at production
-            # presets; stacked_keys() moves level-sliced views on-device
-            out[g_el] = C.KSwitchKey(d0[i], a_np[i])
+            # device-resident, pre-sliced: stacked_keys() serves level
+            # slices without any host round-trip
+            out[g_el] = C.KSwitchKey(d0[i], a_all[i])
     return out
 
 
-def collective_rotkey_gen(net: Network, ctx, sk, g_el: int, crp_rng) -> C.KSwitchKey:
-    return collective_rotkey_gen_many(net, ctx, sk, [g_el], crp_rng)[g_el]
+def collective_rotkey_gen(
+    net: Network, ctx, sk, g_el: int, crp_rng, key_nmod: Optional[int] = None
+) -> C.KSwitchKey:
+    return collective_rotkey_gen_many(
+        net, ctx, sk, [g_el], crp_rng, key_nmod=key_nmod
+    )[g_el]
 
 
 # ---------------------------------------------------------------------------
@@ -573,7 +593,7 @@ def collective_bootstrap_many(net: Network, cps: CryptoParams, cts, source_pid: 
                 "h2": add_mod(jnp.asarray(a["h2"]), jnp.asarray(b["h2"]), t_f["q"]),
             }
 
-        agg = net.aggregate({"h1": np.asarray(h1), "h2": np.asarray(h2)}, add_fn)
+        agg = net.aggregate({"h1": h1, "h2": h2}, add_fn)
         h1, h2 = jnp.asarray(agg["h1"]), jnp.asarray(agg["h2"])
 
         # masked decryption, exact integer recode to the full modulus
@@ -640,9 +660,11 @@ def bootstrap_mat_all(net, cps, cm):
 
 
 def ct_to_wire(ct: C.Ciphertext):
+    # components stay device-resident: the local transport passes them
+    # zero-copy; only the TCP codec serializes (pulling there is inherent)
     return {
-        "c0": np.asarray(ct.c0),
-        "c1": np.asarray(ct.c1),
+        "c0": ct.c0,
+        "c1": ct.c1,
         "nmod": ct.nmod,
         "scale": float(ct.scale),
     }

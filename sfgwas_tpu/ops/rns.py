@@ -89,10 +89,11 @@ def _bitrev(i: int, bits: int) -> int:
 
 
 def shoup(c: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """floor(c * 2^32 / q) companion table (host)."""
-    return ((c.astype(object) << 32) // q.astype(object)).astype(np.uint64).astype(
-        np.uint32
-    )
+    """floor(c * 2^32 / q) companion table (host).  c < 2^26 so the shifted
+    numerator fits uint64 exactly (no object-array path)."""
+    return (
+        (c.astype(np.uint64) << np.uint64(32)) // q.astype(np.uint64)
+    ).astype(np.uint32)
 
 
 class RnsBasis:
@@ -117,27 +118,43 @@ class RnsBasis:
         mu = ((1 << self.bar_shift)) // q.astype(object)
         self.mu = jnp.asarray(np.array(mu, dtype=np.uint64).astype(np.uint32))[:, None]
 
-        # NTT twiddles, bit-reversed layout (Longa–Naehrig)
+        # NTT twiddles, bit-reversed layout (Longa–Naehrig).  Vectorized
+        # square-and-multiply ladder: 26-bit operands, so uint64 products
+        # are exact (the per-element python pow() loop took ~minutes per
+        # process at logn=14 x 18 primes).
+        rev = np.zeros(n, dtype=np.uint64)
+        for j in range(n):
+            rev[j] = _bitrev(j, logn)
         psi_rev = np.zeros((L, n), dtype=np.uint32)
         ipsi_rev = np.zeros((L, n), dtype=np.uint32)
         ninv = np.zeros((L,), dtype=np.uint32)
+
+        def powmod_vec(base: int, e: np.ndarray, qi: int) -> np.ndarray:
+            out = np.ones(n, dtype=np.uint64)
+            b = np.uint64(base)
+            qv = np.uint64(qi)
+            for bit in range(int(e.max()).bit_length()):
+                sel = (e >> np.uint64(bit)) & np.uint64(1)
+                out = np.where(sel == 1, (out * b) % qv, out)
+                b = (b * b) % qv
+            return out
+
         for i, qi in enumerate(self.primes):
             psi = _find_psi(qi, 2 * n)
             ipsi = pow(psi, -1, qi)
-            for j in range(n):
-                r = _bitrev(j, logn)
-                psi_rev[i, j] = pow(psi, r, qi)
-                ipsi_rev[i, j] = pow(ipsi, r, qi)
+            psi_rev[i] = powmod_vec(psi, rev, qi).astype(np.uint32)
+            ipsi_rev[i] = powmod_vec(ipsi, rev, qi).astype(np.uint32)
             ninv[i] = pow(n, -1, qi)
         qcol = q.astype(np.uint32)[:, None]
+        psi_s_np = shoup(psi_rev, np.broadcast_to(qcol, psi_rev.shape))
+        ipsi_s_np = shoup(ipsi_rev, np.broadcast_to(qcol, ipsi_rev.shape))
+        ninv_s_np = shoup(ninv[:, None], qcol)
         self.psi_rev = jnp.asarray(psi_rev)
-        self.psi_rev_s = jnp.asarray(shoup(psi_rev, np.broadcast_to(qcol, psi_rev.shape)))
+        self.psi_rev_s = jnp.asarray(psi_s_np)
         self.ipsi_rev = jnp.asarray(ipsi_rev)
-        self.ipsi_rev_s = jnp.asarray(
-            shoup(ipsi_rev, np.broadcast_to(qcol, ipsi_rev.shape))
-        )
+        self.ipsi_rev_s = jnp.asarray(ipsi_s_np)
         self.ninv = jnp.asarray(ninv)[:, None]
-        self.ninv_s = jnp.asarray(shoup(ninv[:, None], qcol))
+        self.ninv_s = jnp.asarray(ninv_s_np)
 
         # q_l mod q_i table for base extension / rescale: [L, L]
         qmod = np.zeros((L, L), dtype=np.uint32)
@@ -149,16 +166,18 @@ class RnsBasis:
                     qinv[l_, i] = pow(self.primes[l_], -1, self.primes[i])
         self.qmod = qmod  # host
         self.qinv = qinv  # host
-        # host copies for safe (outside-trace) row selection in _sel
+        # host copies for safe (outside-trace) row selection in _sel --
+        # built from the numpy ORIGINALS (never np.asarray of a device
+        # array: readback through the accelerator tunnel is ~8 MB/s)
         self._np = dict(
-            q=np.asarray(self.q),
-            mu=np.asarray(self.mu),
+            q=q.astype(np.uint32)[:, None],
+            mu=np.array(mu, dtype=np.uint64).astype(np.uint32)[:, None],
             psi=psi_rev,
-            psi_s=np.asarray(self.psi_rev_s),
+            psi_s=psi_s_np,
             ipsi=ipsi_rev,
-            ipsi_s=np.asarray(self.ipsi_rev_s),
-            ninv=np.asarray(self.ninv),
-            ninv_s=np.asarray(self.ninv_s),
+            ipsi_s=ipsi_s_np,
+            ninv=ninv[:, None],
+            ninv_s=ninv_s_np,
         )
         self._cache = {}
 

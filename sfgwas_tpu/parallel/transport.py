@@ -31,6 +31,7 @@ import threading
 import time
 from typing import Any, Dict, Optional
 
+import jax
 import numpy as np
 
 # ---------------------------------------------------------------------------
@@ -160,7 +161,12 @@ def _to_host(obj):
         return tuple(_to_host(x) for x in obj)
     if isinstance(obj, dict):
         return {k: _to_host(v) for k, v in obj.items()}
-    arr = np.asarray(obj)  # jax arrays: host view on CPU, copy off-device
+    if isinstance(obj, jax.Array):
+        # device arrays pass by reference: immutable, and device->host
+        # readback through the accelerator tunnel is ~100x slower than
+        # host->device -- collective protocol shares must stay on-device
+        return obj
+    arr = np.asarray(obj)
     if arr.dtype == object:
         raise TypeError(f"cannot send {type(obj)}")
     return _to_host(arr)
@@ -168,7 +174,7 @@ def _to_host(obj):
 
 def _approx_size(obj) -> int:
     """Logical wire size for the byte counters (zero-copy path)."""
-    if isinstance(obj, np.ndarray):
+    if isinstance(obj, (np.ndarray, jax.Array)):
         return obj.nbytes + 16
     if isinstance(obj, (list, tuple)):
         return 9 + sum(_approx_size(x) for x in obj)

@@ -20,6 +20,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from ..utils import prof
+
 from ..mpc.mhe import CryptoParams
 from . import ckks as C
 
@@ -138,11 +140,14 @@ def rotate_right(cps, ct: C.Ciphertext, k: int) -> C.Ciphertext:
 def rotate_and_add(cps, ct: C.Ciphertext, size: int) -> C.Ciphertext:
     """Log-rotation accumulate (crypto/basics.go:236-246).  Clamped into the
     rotation-key band up front (level drops are value-lossless)."""
+    prof_cm = prof.span("rot_add")
+    prof_cm.__enter__()
     out = cps.clamp_rot(ct)
     rot = 1
     while rot < size:
         out = cps.ctx.add(out, rotate_left(cps, out, rot))
         rot *= 2
+    prof_cm.__exit__(None, None, None)
     return out
 
 

@@ -385,19 +385,55 @@ class CkksContext:
     # up to ~0.6% on the narrow TEST8 prime set).  Adds tolerate the drift,
     # keeping the first operand's scale: relative error <= the drift bound,
     # well inside the fixed-point noise floor of the GWAS statistics.
+    # scales within this relative distance are absorbed by keeping the
+    # first operand's scale: the value error equals the mismatch, and below
+    # this bound it sits under the pipeline's fixed-point noise floor
+    # (sign-balanced prime pairing keeps single-level drift ~2e-4).  Past
+    # it, add/sub EXACTLY aligns the operands by folding the ratio into a
+    # scale-targeted constant multiply (SetScale).
+    _SCALE_EQ = 5e-4
+    # fallback when no level is left to align with: tolerate only drift-
+    # sized mismatch (paired primes keep per-level drift ~1e-3)
     _SCALE_TOL = 2.5e-2
 
+    def _align_scales(self, a: Ciphertext, b: Ciphertext):
+        """Bring two ciphertexts to exactly equal scales.  Unequal-depth
+        chains legitimately diverge (pair products are not identical); the
+        lower-scale operand is multiplied by a constant-one plaintext whose
+        encoding scale retargets it to the other's scale (costs one level +
+        negligible noise)."""
+        if abs(a.scale / b.scale - 1) < self._SCALE_EQ:
+            return a, b
+        if min(a.nmod, b.nmod) < self.params.base_nmod + 2:
+            # no level to burn: paired primes bound the resulting value
+            # error to the drift size
+            assert abs(a.scale / b.scale - 1) < self._SCALE_TOL, (
+                a.scale,
+                b.scale,
+            )
+            return a, b
+        import os as _os
+        if _os.environ.get("SFGWAS_TRACE_ALIGN"):
+            import traceback
+            st = [l for l in traceback.format_stack()[-8:-2]]
+            print(f"ALIGN {a.scale:.6e} vs {b.scale:.6e} nmod {a.nmod},{b.nmod}\n" + "".join(st[-3:]), flush=True)
+        if a.scale < b.scale:
+            a = self.rescale(self.mul_const_to(a, 1.0, b.scale))
+        else:
+            b = self.rescale(self.mul_const_to(b, 1.0, a.scale))
+        return a, b
+
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        a, b = self._align_scales(a, b)
         a, b, rows = self._match(a, b)
-        assert abs(a.scale / b.scale - 1) < self._SCALE_TOL, (a.scale, b.scale)
         t = _sel(self.basis, rows)
         return Ciphertext(
             add_mod(a.c0, b.c0, t["q"]), add_mod(a.c1, b.c1, t["q"]), a.nmod, a.scale
         )
 
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        a, b = self._align_scales(a, b)
         a, b, rows = self._match(a, b)
-        assert abs(a.scale / b.scale - 1) < self._SCALE_TOL, (a.scale, b.scale)
         t = _sel(self.basis, rows)
         return Ciphertext(
             sub_mod(a.c0, b.c0, t["q"]), sub_mod(a.c1, b.c1, t["q"]), a.nmod, a.scale

@@ -30,6 +30,32 @@ class PresetSpec:
 MM_LEVELS = 2
 
 
+def _pair_primes(q: list, base: int, prime_bits: int) -> list:
+    """Order the modulus chain so every rescale pair (indices (base,base+1),
+    (base+2,base+3), ...) is a magnitude-matched (+a, -b) couple around
+    2^prime_bits: pair products then differ from the nominal scale by
+    ~(a-b)/2^prime_bits instead of the unpaired worst case (>10% at PN14),
+    which keeps scale drift across unequal-depth chains inside the exact
+    add-alignment threshold.  Base primes are never dropped by a rescale,
+    so the leftovers go there."""
+    center = 1 << prime_bits
+    npairs = (len(q) - base) // 2
+    pos = sorted([p for p in q if p >= center], key=lambda p: p - center)
+    neg = sorted([p for p in q if p < center], key=lambda p: center - p)
+    pairs = []
+    while len(pairs) < npairs and pos and neg:
+        pairs.append((neg.pop(0), pos.pop(0)))
+    left = pos + neg  # same-sign leftovers: pair adjacent magnitudes
+    left.sort(key=lambda p: abs(p - center))
+    while len(pairs) < npairs:
+        pairs.append((left.pop(0), left.pop(0)))
+    # best-matched pair on top (it defines the nominal scale)
+    pairs.sort(key=lambda ab: abs(ab[0] * ab[1] / center**2 - 1), reverse=True)
+    out = left + [p for ab in pairs for p in ab]
+    assert len(out) == len(q) and sorted(out) == sorted(q)
+    return out
+
+
 # level counts sized so total log(QP) stays in the preset's security budget
 PRESETS: Dict[str, PresetSpec] = {
     "PN12QP109": PresetSpec(logn=12, levels=1, prime_bits=18, base_primes=2),
@@ -57,7 +83,9 @@ class CkksParams:
         self.slots = 1 << self.logslots
         nq = spec.base_primes + 2 * spec.levels
         primes = rns.gen_primes(nq + 1, spec.logn, spec.prime_bits)
-        self.q_primes: List[int] = primes[:nq]
+        self.q_primes: List[int] = _pair_primes(
+            primes[:nq], spec.base_primes, spec.prime_bits
+        )
         self.special: int = primes[nq]
         self.basis = rns.RnsBasis(self.q_primes + [self.special], spec.logn)
         self.nq = nq

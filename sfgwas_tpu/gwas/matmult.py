@@ -728,6 +728,7 @@ def dc_matmul_aat_b(
     nrows_all: List[int],
     ncol_out: int,
     inner_fn: Callable,
+    bs_target: Optional[int] = None,
 ) -> B.CipherMatrix:
     """For row-partitioned A across parties: out = A (A^T B) computed per
     column of A via aggregated inner products.  The aggregated cross terms
@@ -746,7 +747,7 @@ def dc_matmul_aat_b(
             prod = inner_fn(cps, A[c], Bmat, j)
             ctq_loc.append(B.inner_sum_all(cps, prod))
         ctq = mhe.aggregate_cvec(mpc.net, cps, ctq_loc)
-        ctq = mhe.bootstrap_vec(mpc.net, cps, ctq, -1)
+        ctq = mhe.bootstrap_vec(mpc.net, cps, ctq, -1, target_nmod=bs_target)
         for j in range(ncol_out):
             cc = B.cmult_scalar(cps, A[c], ctq[j])
             out[j] = cc if out[j] is None else B.cadd(

@@ -24,6 +24,7 @@ from ..mpc import mhe, ss_he
 from ..mpc.mhe import CryptoParams
 from ..mpc.mpc import MPC
 from ..utils.log import log
+from ..utils import prof
 from .matmult import dc_matmul_aat_b
 
 
@@ -46,12 +47,17 @@ def net_dqr_enc(
 
     v_list: List[B.CipherVector] = [None] * ncols
 
-    # normalize the input columns to the top level (inputs arrive at mixed
-    # depths, e.g. covariates at full vs PCs at lower levels)
+    # the whole QR lives in the working band: every column re-bootstraps A
+    # anyway, so refreshing to the top just makes every product ~2.5x more
+    # expensive.  band+2 keeps the HE->SS conversions above their headroom
+    # floor (~130 bits).
+    qr_band = min(cps.ctx.nq, cps.rot_nmod + 2)
     if pid > 0:
-        A = mhe.bootstrap_mat_all(mpc.net, cps, A)
+        A = mhe.bootstrap_mat_all(mpc.net, cps, A, target_nmod=qr_band)
 
     for col in range(ncols):
+        prof.dump(f"qr pid{pid} col{col}")
+        prof.reset()
         log(f"pid{pid} DQR forward col {col+1}/{ncols}")
         ncol_curr = ncols - col
         upid, ctid, slotid = (
@@ -62,9 +68,11 @@ def net_dqr_enc(
 
         # z = sum over parties of ||A[0]||^2 (one ciphertext)
         if pid > 0:
-            zloc = B.sq_sum(cps, A[0])
-            uvec = B.copy_vec(A[0])
-            z = mhe.aggregate_ct(mpc.net, cps, zloc)
+            with prof.span("qr_sqsum"):
+                zloc = B.sq_sum(cps, A[0])
+                uvec = B.copy_vec(A[0])
+            with prof.span("qr_aggz"):
+                z = mhe.aggregate_ct(mpc.net, cps, zloc)
         else:
             z = None
 
@@ -75,7 +83,8 @@ def net_dqr_enc(
         x_full = ss_he.ciphertext_to_ss(mpc, cps, ss_in, upid, slots)
         x_ss = x_full[slotid : slotid + 1]
 
-        sgn = mpc.is_positive(x_ss)
+        with prof.span("qr_ispos"):
+            sgn = mpc.is_positive(x_ss)
         sgn = mpc.ring.mul_int(sgn, 2)
         if pid == mpc.hub_pid:
             sgn = ring.sub(sgn, np.broadcast_to(ring.const_np(1), sgn.shape))
@@ -101,8 +110,9 @@ def net_dqr_enc(
         alpha_scaled = mpc.ss_mult_elem(alpha_ss, z_new_sqrt_inv)
         alpha_scaled = mpc.trunc(alpha_scaled, kb, fb)
 
-        alpha_ct = ss_he.ss_to_ciphertext(mpc, cps, alpha_scaled[None])
-        z_inv_ct = ss_he.ss_to_ciphertext(mpc, cps, z_new_sqrt_inv[None])
+        with prof.span("qr_ss2he"):
+            alpha_ct = ss_he.ss_to_ciphertext(mpc, cps, alpha_scaled[None])
+            z_inv_ct = ss_he.ss_to_ciphertext(mpc, cps, z_new_sqrt_inv[None])
         if pid > 0:
             # spread the scalar (slot 0) to every slot: single-nonzero-slot
             # sum equals the value itself (rebalance without the 1/slots)
@@ -111,7 +121,8 @@ def net_dqr_enc(
 
         if pid > 0:
             # v = A[0] * (sqrt(N)/||v||) (+ alpha at the pivot slot)
-            uvec = B.cmult_scalar(cps, uvec, z_inv_ct)
+            with prof.span("qr_uvec_mul"):
+                uvec = B.cmult_scalar(cps, uvec, z_inv_ct)
             if pid == upid:
                 amask = B.mask(cps, alpha_ct, slotid, False)
                 uvec[ctid] = cps.ctx.add(
@@ -124,16 +135,20 @@ def net_dqr_enc(
             # masked), so a level-conditional bootstrap would desync.  The
             # reference bootstraps around the rank-1 updates too
             # (gwas/qrfact.go:201).
-            uvec = mhe.bootstrap_mat_all(mpc.net, cps, [uvec])[0]
+            uvec = mhe.bootstrap_mat_all(
+                mpc.net, cps, [uvec], target_nmod=qr_band
+            )[0]
             v_list[col] = uvec
 
             # A <- (I - 2 v v^T / N) A
             def fn(cp, a, Bm, j):
                 return B.cmult(cp, a, Bm[j])
 
-            vvta = dc_matmul_aat_b(
-                cps, mpc, [uvec], A, nrows_all, ncol_curr, fn
-            )
+            with prof.span("qr_dcmm"):
+                vvta = dc_matmul_aat_b(
+                    cps, mpc, [uvec], A, nrows_all, ncol_curr, fn,
+                    bs_target=qr_band,
+                )
             newA = []
             for c in range(len(A)):
                 terms = B.cmult_const(cps, vvta[c], -2 * inv_n, rescale=True)
@@ -146,7 +161,7 @@ def net_dqr_enc(
                         for a, t in zip(A[c], terms)
                     ]
                 )
-            A = mhe.bootstrap_mat_all(mpc.net, cps, newA)
+            A = mhe.bootstrap_mat_all(mpc.net, cps, newA, target_nmod=qr_band)
             # drop first column; mask out the pivot row
             A = A[1:]
             if upid == pid and A:
@@ -191,7 +206,9 @@ def net_dqr_enc(
                 return [m]
             return B.cmult(cp, a, Bm[jj])
 
-        vvtq = dc_matmul_aat_b(cps, mpc, vmat, qslice, nrows_all, ncol_curr, fn)
+        vvtq = dc_matmul_aat_b(
+            cps, mpc, vmat, qslice, nrows_all, ncol_curr, fn, bs_target=qr_band
+        )
 
         for c in range(ncol_curr):
             scalar = inv_sqrt_n if c == 0 else inv_n
@@ -203,7 +220,9 @@ def net_dqr_enc(
                 )
                 for q, t in zip(Q[j + c], terms)
             ]
-        refreshed = mhe.bootstrap_mat_all(mpc.net, cps, Q[j : j + ncol_curr])
+        refreshed = mhe.bootstrap_mat_all(
+            mpc.net, cps, Q[j : j + ncol_curr], target_nmod=qr_band
+        )
         for c in range(ncol_curr):
             Q[j + c] = refreshed[c]
 

@@ -40,6 +40,7 @@ from ..ops import rns
 from ..ops.rns import _sel, add_mod, mul_mod_barrett, neg_mod, ntt, sub_mod
 from ..parallel.transport import Network
 from ..utils.log import log
+from ..utils import prof
 
 
 @dataclass
@@ -479,6 +480,7 @@ def collective_decrypt_many(net: Network, cps: CryptoParams, cts, source_pid: in
         cts = broadcast_cvec(net, cps, cts, source_pid)
     out = [None] * len(cts)
     for nmod, idxs in _nmod_groups(cts):
+      with prof.span("col_decrypt"):
         rows = tuple(range(nmod))
         t = _sel(ctx.basis, rows)
         B = len(idxs)
@@ -509,11 +511,85 @@ def collective_bootstrap(net: Network, cps: CryptoParams, ct: C.Ciphertext, sour
     return collective_bootstrap_many(net, cps, [ct], source_pid)[0]
 
 
-def collective_bootstrap_many(net: Network, cps: CryptoParams, cts, source_pid: int):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _bs_share_kernel(
+    ctx, rows, tgt_rows, B, nwords, top_bits, seed, idx, crp, c1s, sk, e1, e2
+):
+    """One fused kernel for a party's whole refresh share: sample the
+    decryption mask (threefry words, centered), fold it mod both prime
+    sets, NTT both, and form h1 = c1*s + e1 + mask_l,
+    h2 = -crp*s + e2 - mask_f.  Replaces ~15 host steps + eager dispatches
+    (each a tunnel round trip) per bootstrap call."""
+    t_l = _sel(ctx.basis, rows)
+    t_f = _sel(ctx.basis, tgt_rows)
+    n = ctx.n
+    k = jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(seed[0]), seed[1]), idx
+    )
+    w = jax.random.bits(k, (nwords, B, n), dtype=jnp.uint32)
+    w = (w & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
+    top = w[-1] & jnp.int32((1 << top_bits) - 1)
+    w = w.at[-1].set(top - jnp.int32(1 << (top_bits - 1)))
+
+    def fold(rws, t):
+        # accumulate sum_k w_k * (2^(24k) mod q) mod q per prime row
+        pk = np.array(
+            [
+                [pow(1 << (24 * kk), 1, ctx.basis.primes[r]) for kk in range(nwords)]
+                for r in rws
+            ],
+            np.uint32,
+        )  # [L, nwords]
+        acc = jnp.zeros((len(rws), B, n), jnp.uint32)
+        qq = t["q"][:, :, None]
+        mu = t["mu"][:, :, None]
+        for kk in range(nwords):
+            wm = jnp.where(w[kk] < 0, w[kk] + qq.astype(jnp.int32), w[kk]).astype(
+                jnp.uint32
+            )
+            acc = add_mod(
+                acc, mul_mod_barrett(wm, pk[:, kk][:, None, None], qq, mu), qq
+            )
+        return rns.ntt_b(acc, ctx.basis, rws)
+
+    mask_l = jnp.swapaxes(fold(rows, t_l), 0, 1)  # [B, l, N]
+    mask_f = jnp.swapaxes(fold(tgt_rows, t_f), 0, 1)
+    ql = t_l["q"][None]
+    qf = t_f["q"][None]
+    sk_l = sk[jnp.asarray(rows)][None]
+    sk_f = sk[jnp.asarray(tgt_rows)][None]
+    h1 = add_mod(
+        add_mod(mul_mod_barrett(c1s, sk_l, ql, t_l["mu"][None]), e1, ql),
+        mask_l,
+        ql,
+    )
+    h2 = sub_mod(
+        add_mod(
+            neg_mod(mul_mod_barrett(crp, sk_f, qf, t_f["mu"][None]), qf), e2, qf
+        ),
+        mask_f,
+        qf,
+    )
+    return h1, h2
+
+
+def collective_bootstrap_many(
+    net: Network, cps: CryptoParams, cts, source_pid: int,
+    target_nmod: Optional[int] = None,
+):
     """Batched collective bootstrap: for each level group, ONE combined
     {h1, h2} aggregation round covers every ciphertext (vs 2 rounds PER ct in
-    the per-goroutine reference structure, mpc/mhe.go:222-261), and the
-    masked-decrypt / recode / re-encrypt chain runs as [B, nmod, N] kernels."""
+    the per-goroutine reference structure, mpc/mhe.go:222-261).
+
+    target_nmod selects the refresh target level (default: top).  Pipelines
+    that live in the matmult band pass the band so the recode, masks and
+    CRPs are sized to what will actually be used.
+
+    Each party's share is ONE fused device kernel; over the zero-copy local
+    transport the hub alone runs the exact CRT recode and broadcasts the
+    finished c0 (identical at every party by construction -- mu is
+    protocol-public), so the host-side lift happens once per round instead
+    of once per party."""
     if net.pid == 0:
         return cts
     ctx = cps.ctx
@@ -521,12 +597,16 @@ def collective_bootstrap_many(net: Network, cps: CryptoParams, cts, source_pid: 
     if source_pid > 0:
         cts = broadcast_cvec(net, cps, cts, source_pid)
     rng = cps.enc_rng
-    full = tuple(range(ctx.nq))
-    t_f = _sel(ctx.basis, full)
+    tgt = min(target_nmod or ctx.nq, ctx.nq)
+    tgt = max(tgt, max(ct.nmod for ct in cts))
+    tgt_rows = tuple(range(tgt))
+    t_f = _sel(ctx.basis, tgt_rows)
     out = [None] * len(cts)
     import math
 
+    zero_copy = getattr(net.t, "zero_copy", False)
     for nmod, idxs in _nmod_groups(cts):
+      with prof.span("bootstrap"):
         rows = tuple(range(nmod))
         t_l = _sel(ctx.basis, rows)
         B = len(idxs)
@@ -537,55 +617,36 @@ def collective_bootstrap_many(net: Network, cps: CryptoParams, cts, source_pid: 
         # covers all B polys
         ql_bits = params.q_prod(nmod).bit_length()
         bound_bits = ql_bits - 3 - int(math.ceil(math.log2(max(2, net.nparty - 1))))
-        mask_w = rns.words_sample_centered(rng, bound_bits, B * ctx.n)
-        mask_l = np.stack(
-            [rns.words_mod_prime(mask_w, params.q_primes[i]) for i in range(nmod)]
-        ).reshape(nmod, B, ctx.n)
-        mask_f = np.stack(
-            [rns.words_mod_prime(mask_w, params.q_primes[i]) for i in range(ctx.nq)]
-        ).reshape(ctx.nq, B, ctx.n)
-        mask_l = jnp.swapaxes(rns.ntt_b(jnp.asarray(mask_l), ctx.basis, rows), 0, 1)
-        mask_f = jnp.swapaxes(rns.ntt_b(jnp.asarray(mask_f), ctx.basis, full), 0, 1)
+        nwords = (bound_bits + 23) // 24
+        top_bits = bound_bits - 24 * (nwords - 1)
 
-        # common reference polynomials for the re-encryption (full level)
+        # common reference polynomials for the re-encryption (target level),
+        # derived on-device from the shared seed (identical at all parties)
         with net.rand.using(-1) as g:
             seed = int.from_bytes(g.bytes(8), "little")
-        crp = ctx.sample_uniform_b(
-            np.random.default_rng(np.random.Philox(key=seed)), full, B
+        crp = C.device_uniform_b(
+            ctx, tgt_rows, B,
+            (np.uint32(seed & 0xFFFFFFFF), np.uint32(seed >> 32)),
+            np.uint32(0),
         )
 
-        e1 = ctx.small_to_rns_b(
-            np.stack([ctx.sample_gauss(rng) for _ in range(B)]), rows
-        )
-        e2 = ctx.small_to_rns_b(
-            np.stack([ctx.sample_gauss(rng) for _ in range(B)]), full
-        )
+        with prof.span("bs_noise"):
+            e1 = ctx.small_to_rns_b(
+                np.stack([ctx.sample_gauss(rng) for _ in range(B)]), rows
+            )
+            e2 = ctx.small_to_rns_b(
+                np.stack([ctx.sample_gauss(rng) for _ in range(B)]), tgt_rows
+            )
+        with prof.span("bs_share"):
+            mseed = (
+                np.uint32(rng.integers(0, 1 << 32, dtype=np.uint64)),
+                np.uint32(rng.integers(0, 1 << 32, dtype=np.uint64)),
+            )
+            h1, h2 = _bs_share_kernel(
+                ctx, rows, tgt_rows, B, nwords, top_bits,
+                mseed, np.uint32(0), crp, c1s, cps.sk.s, e1, e2,
+            )
 
-        h1 = add_mod(
-            add_mod(
-                mul_mod_barrett(
-                    c1s, cps.sk.s[None, :nmod], t_l["q"][None], t_l["mu"][None]
-                ),
-                e1,
-                t_l["q"],
-            ),
-            mask_l,
-            t_l["q"],
-        )
-        h2 = sub_mod(
-            add_mod(
-                neg_mod(
-                    mul_mod_barrett(
-                        crp, cps.sk.s[None, : ctx.nq], t_f["q"][None], t_f["mu"][None]
-                    ),
-                    t_f["q"],
-                ),
-                e2,
-                t_f["q"],
-            ),
-            mask_f,
-            t_f["q"],
-        )
         # h1 + h2 share one aggregation round
         def add_fn(a, b):
             return {
@@ -593,40 +654,55 @@ def collective_bootstrap_many(net: Network, cps: CryptoParams, cts, source_pid: 
                 "h2": add_mod(jnp.asarray(a["h2"]), jnp.asarray(b["h2"]), t_f["q"]),
             }
 
-        agg = net.aggregate({"h1": h1, "h2": h2}, add_fn)
-        h1, h2 = jnp.asarray(agg["h1"]), jnp.asarray(agg["h2"])
+        with prof.span("bs_agg"):
+            agg = net.hub_gather_sum({"h1": h1, "h2": h2}, add_fn)
 
-        # masked decryption, exact integer recode to the full modulus
-        mu = add_mod(c0s, h1, t_l["q"])
-        mu_coeff = rns.ntt_b(
-            jnp.swapaxes(mu, 0, 1), ctx.basis, rows, True
-        )  # [nmod, B, N]
-        lifted = rns.crt_lift_centered(
-            np.asarray(mu_coeff).reshape(nmod, B * ctx.n),
-            params.q_primes[:nmod],
-            params.q_primes[: ctx.nq],
-        ).reshape(ctx.nq, B, ctx.n)
-        mu_full = jnp.swapaxes(
-            rns.ntt_b(jnp.asarray(lifted), ctx.basis, full), 0, 1
-        )
+        def finalize(a):
+            # masked decryption, exact integer recode to the target modulus
+            hh1, hh2 = jnp.asarray(a["h1"]), jnp.asarray(a["h2"])
+            mu = add_mod(c0s, hh1, t_l["q"])
+            mu_coeff = rns.ntt_b(jnp.swapaxes(mu, 0, 1), ctx.basis, rows, True)
+            with prof.span("bs_crt_pull"):
+                mu_np = np.asarray(mu_coeff).reshape(nmod, B * ctx.n)
+            with prof.span("bs_crt_lift"):
+                lifted = rns.crt_lift_centered(
+                    mu_np,
+                    params.q_primes[:nmod],
+                    params.q_primes[:tgt],
+                ).reshape(tgt, B, ctx.n)
+            mu_full = jnp.swapaxes(
+                rns.ntt_b(jnp.asarray(lifted), ctx.basis, tgt_rows), 0, 1
+            )
+            return add_mod(mu_full, hh2, t_f["q"])
 
-        c0 = add_mod(mu_full, h2, t_f["q"])
+        if zero_copy:
+            # hub finalizes once; the shared device buffer reaches everyone
+            c0 = net.hub_broadcast(
+                finalize(agg) if net.pid == net.hub_pid else None
+            )
+            c0 = jnp.asarray(c0)
+        else:
+            # TCP: broadcast the aggregated shares; every party finalizes
+            # locally (identical results, no big extra transfers)
+            agg = net.hub_broadcast(agg if net.pid == net.hub_pid else None)
+            c0 = finalize(agg)
+
         for b, i in enumerate(idxs):
-            out[i] = C.Ciphertext(c0[b], crp[b], ctx.nq, cts[i].scale)
+            out[i] = C.Ciphertext(c0[b], crp[b], tgt, cts[i].scale)
     return out
 
 
-def bootstrap_vec(net, cps, cv, source_pid):
+def bootstrap_vec(net, cps, cv, source_pid, target_nmod=None):
     if net.pid == 0:
         return cv
-    return collective_bootstrap_many(net, cps, cv, source_pid)
+    return collective_bootstrap_many(net, cps, cv, source_pid, target_nmod)
 
 
-def bootstrap_mat(net, cps, cm, source_pid):
+def bootstrap_mat(net, cps, cm, source_pid, target_nmod=None):
     if net.pid == 0:
         return cm
     flat = [ct for row in cm for ct in row]
-    ref = collective_bootstrap_many(net, cps, flat, source_pid)
+    ref = collective_bootstrap_many(net, cps, flat, source_pid, target_nmod)
     out, ofs = [], 0
     for row in cm:
         out.append(ref[ofs : ofs + len(row)])
@@ -634,24 +710,42 @@ def bootstrap_mat(net, cps, cm, source_pid):
     return out
 
 
-def bootstrap_mat_all(net, cps, cm):
-    """Each data party's matrix refreshed in turn (mpc/mhe.go:351-365).
-    The source announces its per-row ct counts first so unbalanced row
-    partitions stay in lockstep; each source's whole matrix refreshes in one
-    batched pass."""
-    out = cm
+def bootstrap_mat_all(net, cps, cm, target_nmod=None):
+    """Every data party's matrix refreshed in ONE combined round
+    (mpc/mhe.go:351-365 loops the sources sequentially; here each source
+    broadcasts its ciphertexts, then a single collective_bootstrap_many
+    covers the union -- one aggregation round instead of one per party).
+    Sources announce their per-row ct counts first so unbalanced row
+    partitions stay in lockstep."""
+    if net.pid == 0:
+        return cm
+    shapes = {}
+    my_shape = [len(row) for row in cm] if net.pid > 0 else []
     for source in range(1, net.nparty):
         if net.pid == source:
-            shape = [len(row) for row in out]
             for p in range(1, net.nparty):
                 if p != source:
-                    net.send(shape, p)
-            out = bootstrap_mat(net, cps, out, source)
-        elif net.pid > 0:
-            shape = net.recv(source)
-            total = sum(shape)
-            if total:
-                collective_bootstrap_many(net, cps, [None] * total, source)
+                    net.send(my_shape, p)
+            shapes[source] = my_shape
+        else:
+            shapes[source] = net.recv(source)
+    # source-major flat list; each source broadcasts its block
+    flat = []
+    for source in range(1, net.nparty):
+        total = sum(shapes[source])
+        blk = [ct for row in cm for ct in row] if net.pid == source else [None] * total
+        flat.extend(broadcast_cvec(net, cps, blk, source))
+    ref = collective_bootstrap_many(net, cps, flat, -1, target_nmod)
+    # take back this party's slice
+    ofs = 0
+    for source in range(1, net.nparty):
+        if source == net.pid:
+            break
+        ofs += sum(shapes[source])
+    out, pos = [], ofs
+    for row in cm:
+        out.append(ref[pos : pos + len(row)])
+        pos += len(row)
     return out
 
 

@@ -33,6 +33,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import prof
+
 from ..ops import ring as R
 from ..parallel.transport import Network
 from ..utils.log import log
@@ -793,7 +795,7 @@ class MPC:
 
     # ------------------------------------------------------- sqrt / divide
 
-    def sqrt_and_sqrt_inverse(self, a, binary=None) -> Tuple:
+    def _sqrt_and_sqrt_inverse_inner(self, a, binary=None) -> Tuple:
         """Newton sqrt + inverse sqrt (mpc/mpc.go:1991-2080)."""
         ring = self.ring
         n = self._shape(ring, a)[0]
@@ -983,3 +985,11 @@ def _bits_lsb(ring, vals, nbits, bitring):
 
 def _bits_msb(ring, vals, nbits, bitring):
     return _bits_lsb(ring, vals, nbits, bitring)[:, ::-1].copy()
+
+
+def _prof_sqrt(self, *a, **k):
+    with prof.span("ss_sqrt"):
+        return self._sqrt_and_sqrt_inverse_inner(*a, **k)
+
+
+MPC.sqrt_and_sqrt_inverse = _prof_sqrt

@@ -28,6 +28,8 @@ from typing import List
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import prof
+
 from ..crypto import ckks as C
 from ..ops import ring as R
 from ..ops import rns
@@ -73,7 +75,7 @@ def _centered_ints(ring: R.Ring, digits) -> List[int]:
     return out
 
 
-def ss_to_cmat(mpc: MPC, cps: CryptoParams, rm) -> List[List[C.Ciphertext]]:
+def _ss_to_cmat(mpc: MPC, cps: CryptoParams, rm) -> List[List[C.Ciphertext]]:
     """RMat shares [r, n, L] -> CipherMatrix (r rows x ceil(n/slots) cts),
     known to all data parties.  Party 0 returns None."""
     if mpc.pid == 0:
@@ -132,7 +134,7 @@ def ss_to_ciphertext(mpc, cps, rv):
     return cv[0] if cv else None
 
 
-def cmat_to_ss(
+def _cmat_to_ss(
     mpc: MPC,
     cps: CryptoParams,
     cm,
@@ -212,3 +214,13 @@ def ciphertext_to_ss(mpc, cps, ct, source_pid, n_elem):
     # non-source parties pass ct=None; the [None] placeholder carries the
     # (statically known) 1-ciphertext shape so cmat_to_ss can receive into it
     return cvec_to_ss(mpc, cps, [ct], source_pid, n_elem)
+
+
+def cmat_to_ss(*a, **k):
+    with prof.span("he2ss"):
+        return _cmat_to_ss(*a, **k)
+
+
+def ss_to_cmat(*a, **k):
+    with prof.span("ss2he"):
+        return _ss_to_cmat(*a, **k)

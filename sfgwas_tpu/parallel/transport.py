@@ -202,7 +202,7 @@ class LocalTransport:
     def send_obj(self, to: int, obj):
         self.cluster.queues[(self.pid, to, self.channel)].put(obj)
 
-    def recv_obj(self, frm: int, timeout: Optional[float] = 600.0):
+    def recv_obj(self, frm: int, timeout: Optional[float] = 3600.0):
         return self.cluster.queues[(frm, self.pid, self.channel)].get(
             timeout=timeout
         )
@@ -210,7 +210,7 @@ class LocalTransport:
     def send_bytes(self, to: int, data: bytes):
         self.cluster.queues[(self.pid, to, self.channel)].put(data)
 
-    def recv_bytes(self, frm: int, timeout: Optional[float] = 600.0) -> bytes:
+    def recv_bytes(self, frm: int, timeout: Optional[float] = 3600.0) -> bytes:
         return self.cluster.queues[(frm, self.pid, self.channel)].get(
             timeout=timeout
         )

@@ -5,12 +5,34 @@ import os as _os
 
 # Persistent XLA compilation cache: protocol kernels compile once per
 # machine instead of once per process (compiles dominate cold-start on
-# small hosts; a full keygen's kernels alone are ~2 min of compile).
+# small hosts; the PN14 matmult kernel alone is ~3.5 min of compile).
+# The installed jax does not read JAX_COMPILATION_CACHE_DIR from the
+# environment, so set it through jax.config (jax is a hard dependency of
+# every module here; importing it at package init costs nothing extra).
 _os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     _os.path.expanduser("~/.cache/sfgwas_jax_cache"),
 )
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def _enable_jax_compilation_cache():
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        # persist EVERY compile: the axon remote-compile path costs
+        # ~0.5 s even for one-op eager kernels, and a protocol run
+        # dispatches hundreds of distinct (op, shape) pairs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_enable_jax_compilation_cache()
 
 
 def _tune_malloc():

@@ -67,7 +67,24 @@ class Encoder:
         v = np.asarray(values, dtype=np.float64)
         z[: len(v)] = v
         a = self.embed_inv(z) * scale
-        ints = np.round(a).astype(object)
+        coeffs = np.round(a)
+        amax = float(np.abs(coeffs).max()) if coeffs.size else 0.0
+        if amax < float(1 << 62):
+            # vectorized residue path (the per-coefficient python-int loop
+            # this replaces was ~1 s per vector at PN14): split each
+            # coefficient as hi*2^31 + lo with 0 <= lo < 2^31, reduce both
+            # halves per prime in uint64 (numpy int64 % follows floored
+            # python semantics, so hi % q lands in [0, q))
+            hi_f = np.floor(coeffs * (1.0 / (1 << 31)))
+            lo = (coeffs - hi_f * float(1 << 31)).astype(np.uint64)
+            hi = hi_f.astype(np.int64)
+            qs = np.asarray(self.params.q_primes[:nmod], dtype=np.int64)
+            him = (hi[None, :] % qs[:, None]).astype(np.uint64)
+            qu = qs.astype(np.uint64)[:, None]
+            r31 = (np.uint64(1 << 31) % qu).astype(np.uint64)
+            res = (him * r31 % qu + lo[None, :] % qu) % qu
+            return res.astype(np.uint32)
+        ints = coeffs.astype(object)
         ints = [int(x) for x in ints]
         return rns.ints_to_rns(ints, self.params.q_primes[:nmod])
 

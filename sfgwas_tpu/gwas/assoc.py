@@ -27,6 +27,7 @@ from ..mpc import linalg, mhe, ss_he
 from ..ops import ring as R
 from ..mpc.mhe import CryptoParams
 from ..mpc.mpc import MPC
+from . import filestream as fs
 from . import matmult as MM
 from .qrfact import net_dqr_enc
 
@@ -171,7 +172,7 @@ def get_association_stats(
         concat.append(ynew0)
 
         sxx_blocks, sxy_blocks, filters = [], [], []
-        for b, G in enumerate(geno_blocks):
+        for b, blk in enumerate(geno_blocks):
             # per-block RESULT cache (ciphertexts + dosage sums, the
             # reference's GenoBlockMult caches, gwas/assoc.go:317-334);
             # diagonal encodings are NOT cached here -- each assoc block is
@@ -184,10 +185,14 @@ def get_association_stats(
                 z = np.load(cache_file)
                 out = U.load_cipher_matrix(cps, cache_file)
                 dsum, dsq = z["dsum"], z["dsq"]
+                msnp = blk.shape[1]
             else:
+                G = fs.load_block(blk)  # streamed: one block resident
+                msnp = G.shape[1]
                 out, dsum, dsq = MM.mat_mult_stream(
                     cps, [c for c in concat], G, compute_sums=True
                 )
+                del G
                 if cache_file:
                     U.save_cipher_matrix(
                         cps, out, cache_file, extra={"dsum": dsum, "dsq": dsq}
@@ -220,7 +225,6 @@ def get_association_stats(
             sxx = mhe.aggregate_cvec(mpc.net, cps, sxx)
             sxx_blocks.append(sxx)
 
-            msnp = G.shape[1]
             nct = 1 + (msnp - 1) // slots
             fl = np.zeros(nct * slots, dtype=bool)
             fl[:msnp] = True
@@ -473,13 +477,17 @@ def gwy_score_test(
         mpc.net.send_int(nblocks, 0)
     for blk in range(nblocks):
         if pid > 0:
-            G = geno_blocks[blk]
+            G = fs.load_block(geno_blocks[blk])  # streamed: one block resident
             msnp = G.shape[1]
             nsnp_ct = 1 + (msnp - 1) // slots
             if pid == mpc.hub_pid:
                 mpc.net.send_int(msnp, 0)
+            # one diagonal encoding serves the three unsquared multiplies of
+            # this block (g^T WzBT / g^T y~ / g^T o); only g^2 needs its own
+            nmod_mm = MM.mm_nmod(cps)
+            g_cache = MM.preprocess_matrix(cps, G, nmod_mm)
             # b-part: (g^T W z BT)^2 summed over covariates
-            ztwbt_g, _, _ = MM.mat_mult_stream(cps, WzBT, G)
+            ztwbt_g = MM.mat_mult_cached(cps, WzBT, g_cache)
             ztwbt_g = mhe.aggregate_cmat(mpc.net, cps, ztwbt_g)
             ztwbt_g = mhe.bootstrap_mat(mpc.net, cps, ztwbt_g, -1)
             gTW2g = None
@@ -506,8 +514,10 @@ def gwy_score_test(
             denom = mhe.bootstrap_mat(mpc.net, cps, [denom], -1)[0]
 
             # numerator: g^T y~ - g^T o
-            gTy, _, _ = MM.mat_mult_stream(cps, [y_tilde], G)
-            gTo, _, _ = MM.mat_mult_stream(cps, [o_vec], G)
+            gTy = MM.mat_mult_cached(cps, [y_tilde], g_cache)
+            gTo = MM.mat_mult_cached(cps, [o_vec], g_cache)
+            MM.release_plan(g_cache)
+            del g_cache, G
             nm = min(gTy[0][0].nmod, gTo[0][0].nmod)
             numer = [
                 ctx.sub(ctx.drop_to(a_, nm), ctx.drop_to(b_, nm))

@@ -135,6 +135,29 @@ class GenoFileStream:
         return out
 
 
+class LazyBlock:
+    """Deferred filtered view of one genotype block: the shape is known up
+    front, but the int8 matrix is read (and row/col-filtered) only inside
+    the block loop that consumes it — phase 3 never holds more than one
+    block in host memory at a time (the reference's block-row streaming,
+    gwas/matmult.go:1238-1316 / gwas/filestream.go:284-494)."""
+
+    def __init__(self, stream: GenoFileStream):
+        self.stream = stream
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.stream.num_rows_to_keep(), self.stream.num_cols_to_keep())
+
+    def load(self) -> np.ndarray:
+        return self.stream.read_all()
+
+
+def load_block(blk) -> np.ndarray:
+    """Materialize a block that may be lazy (LazyBlock) or an ndarray."""
+    return blk.load() if hasattr(blk, "load") else np.asarray(blk)
+
+
 def write_geno_file(path: str, mat: np.ndarray):
     np.asarray(mat, dtype=np.int8).tofile(path)
 

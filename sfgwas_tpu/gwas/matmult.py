@@ -506,6 +506,13 @@ def _plan_for(cps, cache, nmod) -> _MatmulPlan:
     return plan
 
 
+def release_plan(cache) -> None:
+    """Drop the staged plan of a one-shot diagonal cache so its device
+    buffers (GBs of encoded polys per block at PN14) free as soon as the
+    block is consumed, instead of surviving until the next plan build."""
+    _plan_cache.pop(id(cache), None)
+
+
 def mat_mult_cached(
     cps: CryptoParams,
     A: B.CipherMatrix,
@@ -709,6 +716,8 @@ def mat_mult_stream(
         mat = mat * mat
     cache = preprocess_matrix(cps, mat, mm_nmod(cps), cache_file)
     out = mat_mult_cached(cps, A, cache)
+    # streamed blocks are multiplied once; free the plan's device buffers now
+    release_plan(cache)
     dosage_sum = dosage_sq_sum = None
     if compute_sums:
         dosage_sum = geno.astype(np.float64).sum(axis=0)

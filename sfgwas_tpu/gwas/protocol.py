@@ -403,13 +403,17 @@ class ProtocolInfo:
         self.net.reset_log()
         pid = self.pid
 
+        # SNP-axis streaming (gwas/matmult.go:1238-1316): hand phase 3 lazy
+        # views so each block is read, encoded, multiplied and dropped one
+        # at a time — the genotype matrix is never resident in host RAM or
+        # HBM at once
         blocks = None
         if pid > 0:
-            blocks = []
-            for b in self.geno_blocks:
-                m = b.read_all()
-                if m.shape[1] > 0:
-                    blocks.append(m)
+            blocks = [
+                fs.LazyBlock(b)
+                for b in self.geno_blocks
+                if b.num_cols_to_keep() > 0
+            ]
 
         if cfg.use_logistic:
             return self._phase3_logistic(qpc, blocks)

@@ -275,14 +275,26 @@ def _load_diag_cache(path: str):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("nseg", "nsub"))
-def _mac_chunk(R0, R1, P, bidx, seg2, q, mu, m32, nseg, nsub):
-    """Fused BSGS MAC: gather the hoisted baby rotations per diagonal,
-    Barrett-multiply against the encoded diagonal polys and lazily
-    segment-sum per giant group, reducing once per group (the reference's
-    uint128 deferred-reduction loop, gwas/matmult.go:247-324, as ONE device
-    program).  R*: [nB, nmod, N]; P: [K, nmod, N]; -> ([nseg, nmod, N], x2)
-    fully reduced."""
+@functools.partial(
+    jax.jit, static_argnames=("nseg", "nsub"), donate_argnums=(0, 1)
+)
+def _mac_scan(ACC0, ACC1, R0, R1, polys, idxm, bidxm, seg2m, sgm, q, mu, m32,
+              nseg, nsub):
+    """Fused BSGS MAC for a WHOLE block row as one device program: a
+    lax.scan over group-aligned chunks gathers the hoisted baby rotations
+    per diagonal, Barrett-multiplies against the encoded diagonal polys,
+    lazily segment-sums per giant group with one deferred reduction (the
+    reference's uint128 loop, gwas/matmult.go:247-324), and scatters each
+    chunk's reduced groups into the global accumulators.
+
+    One executable per block shape: the per-chunk dispatch this replaces
+    cost ~0.5 s of executable staging per distinct op/shape through the
+    asymmetric device tunnel (hundreds per block).
+
+    ACC*: [nseg_tot+1, nmod, N] donated accumulators (last row is the dump
+    that absorbs padding scatters); R*: [nB, nmod, N] hoisted rotations;
+    polys: [K_tot, nmod, N]; idxm/bidxm/seg2m: [nchunks, k_pad];
+    sgm: [nchunks, nseg]."""
 
     def red(x):
         qhat = _mulhi32(x, m32)
@@ -290,19 +302,34 @@ def _mac_chunk(R0, R1, P, bidx, seg2, q, mu, m32, nseg, nsub):
         r = jnp.where(r >= q, r - q, r)
         return jnp.where(r >= q, r - q, r)
 
-    def one(R):
-        p = mul_mod_barrett(R[bidx], P, q, mu)
-        # one extra dump segment absorbs the zero-poly padding entries
-        a = jax.ops.segment_sum(p, seg2, num_segments=nseg * nsub + 1)[:-1]
-        a = red(a)
-        if nsub > 1:
-            a = jnp.sum(
-                a.reshape(nseg, nsub, *a.shape[1:]), axis=1, dtype=jnp.uint32
-            )
-            a = red(a)
-        return a
+    def body(carry, x):
+        A0, A1 = carry
+        idx, bidx, seg2, sg = x
+        P = polys[idx]
 
-    return one(R0), one(R1)
+        def one(R):
+            p = mul_mod_barrett(R[bidx], P, q, mu)
+            # padding entries carry seg2 = nseg*nsub: the dropped segment
+            a = jax.ops.segment_sum(p, seg2, num_segments=nseg * nsub + 1)[:-1]
+            a = red(a)
+            if nsub > 1:
+                a = jnp.sum(
+                    a.reshape(nseg, nsub, *a.shape[1:]), axis=1,
+                    dtype=jnp.uint32,
+                )
+                a = red(a)
+            return a
+
+        a0, a1 = one(R0), one(R1)
+        # sg padding points at the ACC dump row (never read back)
+        A0 = A0.at[sg].set(add_mod(A0[sg], a0, q))
+        A1 = A1.at[sg].set(add_mod(A1[sg], a1, q))
+        return (A0, A1), None
+
+    (ACC0, ACC1), _ = jax.lax.scan(
+        body, (ACC0, ACC1), (idxm, bidxm, seg2m, sgm)
+    )
+    return ACC0, ACC1
 
 
 @functools.partial(jax.jit, static_argnames=("nbc",))
@@ -325,7 +352,7 @@ def _combine_rotated(r0, r1, bj_ids, q, m32, nbc):
 class _MatmulPlan:
     """Static index plan for one preprocessed matrix: global segment list
     (block-col, giant), per-block-row baby unions, and group-aligned chunks
-    feeding _mac_chunk."""
+    stacked into per-device scan groups feeding _mac_scan."""
 
     def __init__(self, cps: CryptoParams, cache, nmod: int):
         self.nmod = nmod
@@ -398,14 +425,14 @@ class _MatmulPlan:
             self.chunks.append(row_chunks)
         self.nsub = -(-max_group // self.max_lazy)
         assert self.nsub * self.max_lazy >= max_group
-        # pad every chunk to common (K, nseg) so _mac_chunk compiles once
-        # per workload; padding entries carry zero polys and point at the
-        # dump segment / dump accumulator row
+        # pad every chunk to common (K, nseg) so _mac_scan compiles once
+        # per workload; padding entries point at the dump segment / dump
+        # accumulator row (segmentation isolates them -- their poly values
+        # never reach a live segment)
         all_chunks = [c for row in self.chunks for c in row]
         self.k_pad = max(len(c["bidx"]) for c in all_chunks)
         self.nseg_pad = max(c["nseg"] for c in all_chunks)
         self.nb_pad = max((len(b) for b in self.babies if b), default=1)
-        total_bytes = 0
         for c in all_chunks:
             K = len(c["bidx"])
             pos = c.pop("pos_in_group")
@@ -416,53 +443,91 @@ class _MatmulPlan:
                     [seg2, np.full(pad, self.nseg_pad * self.nsub, np.int64)]
                 )
                 c["bidx"] = np.concatenate([c["bidx"], np.zeros(pad, np.int64)])
-            polys = c["blk"].polys
-            if isinstance(polys, np.ndarray):
-                # host-resident cache: materialize the padded chunk once
-                P = polys[c["k0"] : c["k1"]]
-                if pad:
-                    P = np.concatenate(
-                        [P, np.zeros((pad,) + P.shape[1:], np.uint32)]
-                    )
-                c["P"] = P
-                del c["blk"]
-            # device-resident polys: chunks stay as (blk, k0, k1) slices,
-            # materialized per call (device-device copies are cheap; a
-            # second padded copy of a multi-GB cache is not)
-            c["seg2"] = jnp.asarray(seg2, dtype=np.int32)
-            c["bidx"] = jnp.asarray(c["bidx"], dtype=np.int32)
+            c["seg2"] = seg2.astype(np.int32)
+            c["bidx"] = np.asarray(c["bidx"], np.int32)
             gidx = np.asarray(c.pop("seg_gidx"))
-            c["seg_gidx"] = jnp.asarray(
-                np.concatenate(
-                    [gidx, np.full(self.nseg_pad - len(gidx), len(self.segments))]
-                ).astype(np.int32)
-            )
+            c["seg_gidx"] = np.concatenate(
+                [gidx, np.full(self.nseg_pad - len(gidx), len(self.segments))]
+            ).astype(np.int32)
             c["nseg"] = self.nseg_pad
-            total_bytes += K * nmod * cps.ctx.n * 4
-        # stage diagonal polys on-device once when the whole cache fits the
-        # budget (they are reused across rows / power iterations); else
-        # stream per call
-        self.stage_ok = total_bytes <= int(
-            os.environ.get("SFGWAS_MM_STAGE_BYTES", 6 * 1024**3)
-        )
-        self.staged: Dict[int, jnp.ndarray] = {}
+        # per-(block row, device) scan groups built lazily
+        self._groups: Dict[Optional[tuple], list] = {}
 
-    def chunk_P(self, c):
-        """Padded diagonal polys of a chunk.  Host chunks were materialized
-        at plan build; device chunks slice+pad on the fly."""
-        if "P" in c:
-            return c["P"]
-        polys = c["blk"].polys
-        k0, k1 = c["k0"], c["k1"]
-        pad = self.k_pad - (k1 - k0)
-        if pad == 0 and k0 == 0 and k1 == polys.shape[0]:
-            return polys
-        P = polys[k0:k1]
-        if pad:
-            P = jnp.concatenate(
-                [P, jnp.zeros((pad,) + tuple(P.shape[1:]), jnp.uint32)]
-            )
-        return P
+    def scan_groups(self, devices) -> list:
+        """Per block row, the chunk list regrouped for the scan kernel: one
+        group per executing device (all chunks on the default device when
+        devices is None), each with stacked index arrays and the row's
+        diagonal polys concatenated in block order."""
+        key = tuple(id(d) for d in devices) if devices else None
+        cached = self._groups.get(key)
+        if cached is not None:
+            return cached
+        groups = []
+        for bi in range(self.nbr):
+            row = []
+            by_dev: Dict[Optional[int], list] = {}
+            order: List[Optional[int]] = []
+            for c in self.chunks[bi]:
+                dv = devices[c["bj"] % len(devices)] if devices else None
+                if dv not in by_dev:
+                    by_dev[dv] = []
+                    order.append(dv)
+                by_dev[dv].append(c)
+            for dv in order:
+                cs = by_dev[dv]
+                # concatenate each distinct block's polys once, in first-use
+                # order; record offsets for the gather indices
+                offs: Dict[int, int] = {}
+                blks = []
+                tot = 0
+                for c in cs:
+                    bid = id(c["blk"])
+                    if bid not in offs:
+                        offs[bid] = tot
+                        tot += c["blk"].polys.shape[0]
+                        blks.append(c["blk"])
+                nchunks = len(cs)
+                idxm = np.zeros((nchunks, self.k_pad), np.int32)
+                bidxm = np.zeros((nchunks, self.k_pad), np.int32)
+                seg2m = np.zeros((nchunks, self.k_pad), np.int32)
+                sgm = np.zeros((nchunks, self.nseg_pad), np.int32)
+                for r, c in enumerate(cs):
+                    k0, k1 = c["k0"], c["k1"]
+                    idxm[r, : k1 - k0] = offs[id(c["blk"])] + np.arange(
+                        k0, k1, dtype=np.int32
+                    )
+                    bidxm[r] = c["bidx"]
+                    seg2m[r] = c["seg2"]
+                    sgm[r] = c["seg_gidx"]
+                if len(blks) == 1:
+                    polys = jnp.asarray(blks[0].polys)
+                else:
+                    polys = jnp.concatenate(
+                        [jnp.asarray(b.polys) for b in blks]
+                    )
+                if dv is not None:
+                    polys = jax.device_put(polys, dv)
+                row.append(
+                    {
+                        "dev": dv,
+                        "polys": polys,
+                        "idx": jnp.asarray(idxm)
+                        if dv is None
+                        else jax.device_put(idxm, dv),
+                        "bidx": jnp.asarray(bidxm)
+                        if dv is None
+                        else jax.device_put(bidxm, dv),
+                        "seg2": jnp.asarray(seg2m)
+                        if dv is None
+                        else jax.device_put(seg2m, dv),
+                        "sg": jnp.asarray(sgm)
+                        if dv is None
+                        else jax.device_put(sgm, dv),
+                    }
+                )
+            groups.append(row)
+        self._groups[key] = groups
+        return groups
 
     def _chunk(self, blk: DiagBlock, bj: int, k0: int, k1: int, bpos) -> dict:
         giants = blk.giants[k0:k1]
@@ -487,7 +552,7 @@ class _MatmulPlan:
             # global accumulator slots of this chunk's segments (NOT
             # necessarily contiguous: other block rows may contribute
             # giants this one lacks)
-            "seg_gidx": jnp.asarray(
+            "seg_gidx": np.asarray(
                 [self.seg_index[(bj, g)] for g in segs], dtype=np.int32
             ),
         }
@@ -524,12 +589,13 @@ def mat_mult_cached(
     gwas/matmult.go:1043-1236).
 
     Fully batched: per (row, block-row) ONE hoisted-keyswitch batch rotates
-    the ciphertext by every needed baby shift; the diagonal MACs run as
-    group-aligned fused chunks (_mac_chunk); the giant-step rotations of all
-    accumulated groups run as ONE batched keyswitch; per block column a
-    final segment-sum + rescale.  With `devices`, MAC chunks round-robin
-    over the local chips by block column (bit-identical: exact modular
-    arithmetic is associativity-safe)."""
+    the ciphertext by every needed baby shift; the diagonal MACs of the
+    whole block row run as ONE scanned device program (_mac_scan); the
+    giant-step rotations of all accumulated groups run as ONE batched
+    keyswitch; per block column a final segment-sum + rescale.  With
+    `devices`, MAC scan groups round-robin over the local chips by block
+    column (bit-identical: exact modular arithmetic is
+    associativity-safe)."""
     ctx = cps.ctx
     if devices is None:
         devices = _pipeline_devices
@@ -552,9 +618,7 @@ def mat_mult_cached(
     nseg_tot = len(plan.segments)
 
     multi = devices is not None and len(devices) > 1
-    if multi:
-        dev_of_bj = {bj: devices[bj % len(devices)] for bj in range(nbc)}
-        staged: Dict[Tuple[int, int], jnp.ndarray] = {}
+    groups = plan.scan_groups(devices if multi else None)
 
     # batched giant-rotation keys (epilogue)
     rot_segs = [si for si, (bj, g) in enumerate(plan.segments) if g > 0]
@@ -565,6 +629,21 @@ def mat_mult_cached(
         gk0, gk1 = cps.stacked_keys(uniq_gels, nmod)
         gel_pos = {g: x for x, g in enumerate(uniq_gels)}
         gsel = jnp.asarray([gel_pos[g] for g in gels], dtype=jnp.int32)
+
+    timing = os.environ.get("SFGWAS_MM_TIMING")
+    if timing:
+        import time as _time
+
+        _tlog = []
+        _t0 = _time.time()
+
+        def _tick(tag, sync=None):
+            if sync is not None:
+                jax.block_until_ready(sync)
+            nonlocal _t0
+            now = _time.time()
+            _tlog.append((tag, now - _t0))
+            _t0 = now
 
     out: B.CipherMatrix = []
     for i in range(s):
@@ -583,48 +662,46 @@ def mat_mult_cached(
                 )
             else:
                 bk0 = bk1 = None
+            if timing:
+                _tick(f"stacked_keys[{i},{bi}]", bk0)
             R0, R1 = ctx.hoisted_rotations_b(ct, babies, bk0, bk1)
+            if timing:
+                _tick(f"hoisted[{i},{bi}]", R0)
             if R0.shape[0] < plan.nb_pad:
                 padr = jnp.zeros(
                     (plan.nb_pad - R0.shape[0], nmod, ctx.n), jnp.uint32
                 )
                 R0 = jnp.concatenate([R0, padr])
                 R1 = jnp.concatenate([R1, padr])
-            for c in plan.chunks[bi]:
-                if multi:
-                    dv = dev_of_bj[c["bj"]]
-                    key = id(c)
-                    if key not in staged:
-                        staged[key] = jax.device_put(plan.chunk_P(c), dv)
-                    a0, a1 = _mac_chunk(
+            for g in groups[bi]:
+                dv = g["dev"]
+                if dv is None:
+                    ACC0, ACC1 = _mac_scan(
+                        ACC0, ACC1, R0, R1, g["polys"], g["idx"], g["bidx"],
+                        g["seg2"], g["sg"], q, mu, m32,
+                        nseg=plan.nseg_pad, nsub=plan.nsub,
+                    )
+                else:
+                    # two distinct zero buffers: both are donated, and
+                    # device_put of an already-placed array would alias them
+                    z0 = jax.device_put(
+                        jnp.zeros((nseg_tot + 1, nmod, ctx.n), jnp.uint32), dv
+                    )
+                    z1 = jax.device_put(
+                        jnp.zeros((nseg_tot + 1, nmod, ctx.n), jnp.uint32), dv
+                    )
+                    p0, p1 = _mac_scan(
+                        z0, z1,
                         jax.device_put(R0, dv), jax.device_put(R1, dv),
-                        staged[key],
-                        jax.device_put(c["bidx"], dv), jax.device_put(c["seg2"], dv),
+                        g["polys"], g["idx"], g["bidx"], g["seg2"], g["sg"],
                         jax.device_put(q, dv), jax.device_put(mu, dv),
                         jax.device_put(m32, dv),
-                        nseg=c["nseg"], nsub=plan.nsub,
+                        nseg=plan.nseg_pad, nsub=plan.nsub,
                     )
-                    a0 = jax.device_put(a0, devices[0])
-                    a1 = jax.device_put(a1, devices[0])
-                elif "P" in c:  # host-resident chunk: stage within budget
-                    key = id(c["P"])
-                    P = plan.staged.get(key)
-                    if P is None:
-                        P = jnp.asarray(c["P"])
-                        if plan.stage_ok:
-                            plan.staged[key] = P
-                    a0, a1 = _mac_chunk(
-                        R0, R1, P, c["bidx"], c["seg2"],
-                        q, mu, m32, nseg=c["nseg"], nsub=plan.nsub,
-                    )
-                else:  # device-resident polys: slice+pad per call
-                    a0, a1 = _mac_chunk(
-                        R0, R1, plan.chunk_P(c), c["bidx"], c["seg2"],
-                        q, mu, m32, nseg=c["nseg"], nsub=plan.nsub,
-                    )
-                gi = c["seg_gidx"]
-                ACC0 = ACC0.at[gi].set(add_mod(ACC0[gi], a0, q))
-                ACC1 = ACC1.at[gi].set(add_mod(ACC1[gi], a1, q))
+                    ACC0 = add_mod(ACC0, jax.device_put(p0, devices[0]), q)
+                    ACC1 = add_mod(ACC1, jax.device_put(p1, devices[0]), q)
+            if timing:
+                _tick(f"mac_scan[{i},{bi}]", ACC0)
 
         in_scale = A[i][0].scale * ctx.params.scale
         # batched giant rotations of every (bj, g>0) segment
@@ -655,7 +732,13 @@ def mat_mult_cached(
             row_out.append(
                 ctx.rescale(C.Ciphertext(c0, c1, nmod, in_scale))
             )
+        if timing:
+            _tick(f"epilogue[{i}]", row_out[0].c0)
         out.append(row_out)
+    if timing:
+        for tag, dt in _tlog:
+            if dt > 0.05:
+                print(f"  [mm-timing] {tag}: {dt:.2f}s", flush=True)
     return out
 
 

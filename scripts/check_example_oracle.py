@@ -1,0 +1,89 @@
+"""Validate an example_data run against a centrally-computed plaintext oracle.
+
+Mirrors the reference's validation strategy (SURVEY.md §4: SF-GWAS statistics
+were checked against a central PLINK2 workflow, scripts/analysis/run_gwas_ukb.sh).
+Here the oracle is the same pipeline computed in numpy on the pooled data:
+QC filter from the protocol's own gkeep.txt, combined covariate basis
+[1 | covs (| PCs)] via QR, Pearson statistic sxy/sqrt(sxx)/sqrt(syy)
+(gwas/assoc.go:688-875 math).
+
+Usage:
+    python scripts/check_example_oracle.py [--data example_data] \
+        [--out out/party1/assoc.txt] [--gkeep cache/party1/gkeep.txt] \
+        [--qpc cache/party1/Qpc.txt]
+"""
+
+import argparse
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sfgwas_tpu.gwas.pgen import read_pgen_blocks  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="example_data")
+    ap.add_argument("--out", default="out/party1/assoc.txt")
+    ap.add_argument("--gkeep", default="cache/party1/gkeep.txt")
+    ap.add_argument("--qpc", default=None,
+                    help="decrypted PC columns (cache/party1/Qpc.txt); "
+                         "oracle then residualizes on them too")
+    ap.add_argument("--nchrom", type=int, default=22)
+    args = ap.parse_args()
+
+    Gs, ys, Cs = [], [], []
+    for pid in (1, 2):
+        d = os.path.join(args.data, f"party{pid}")
+        G = read_pgen_blocks(
+            os.path.join(d, "geno", "chr"), list(range(1, args.nchrom + 1))
+        )
+        Gs.append(G)
+        ys.append(np.loadtxt(os.path.join(d, "pheno.txt")))
+        Cs.append(np.loadtxt(os.path.join(d, "cov.txt")))
+    G = np.concatenate(Gs, axis=0).astype(np.float64)
+    y = np.concatenate(ys)
+    C = np.concatenate(Cs, axis=0)
+    # missing genotypes (-1 in the reader) -> 0, as the protocol's streams do
+    G[G < 0] = 0.0
+
+    gk = np.loadtxt(args.gkeep).astype(bool)
+    print(f"pooled G {G.shape}, QC keeps {gk.sum()}/{gk.size} SNPs")
+    G = G[:, gk]
+
+    n = G.shape[0]
+    cols = [np.ones(n)] + [C[:, j] for j in range(C.shape[1])]
+    if args.qpc and os.path.exists(args.qpc):
+        Qpc = np.loadtxt(args.qpc)
+        if Qpc.ndim == 1:
+            Qpc = Qpc[:, None]
+        # protocol caches per-party rows; party1 file holds pooled rows
+        cols += [Qpc[:, j] for j in range(Qpc.shape[1])]
+        print(f"including {Qpc.shape[1]} PC columns from {args.qpc}")
+    Q, _ = np.linalg.qr(np.stack(cols, axis=1))
+
+    yt = y - Q @ (Q.T @ y)
+    sxy = yt @ G
+    Gt = G - Q @ (Q.T @ G)
+    sxx = (Gt * Gt).sum(axis=0)
+    syy = yt @ yt
+    want = sxy / np.sqrt(sxx) / np.sqrt(syy)
+
+    got = np.loadtxt(args.out)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    err = np.abs(got - want)
+    corr = np.corrcoef(got, want)[0, 1]
+    print(f"n={len(got)} stats: max|err|={err.max():.3e} "
+          f"mean|err|={err.mean():.3e} corr={corr:.9f}")
+    ok = corr > 0.999 and err.max() < 2e-2
+    print("OK" if ok else "MISMATCH")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -249,12 +249,13 @@ def normalizer_even_exp_2n(mpc, a, k):
     p = ring.modulus
     c4 = [((pow(4, j + 1, p) - pow(4, j, p)) % p) for j in range(num_half)]
     c2 = [((pow(2, j + 1, p) - pow(2, j, p)) % p) for j in range(num_half)]
-    c4d = jnp.asarray(ring.from_ints(c4))  # [num_half, L]
-    c2d = jnp.asarray(ring.from_ints(c2))
+    c4d = np.asarray(ring.from_ints(c4))  # [num_half, L]
+    c2d = np.asarray(ring.from_ints(c2))
 
-    def weighted(coeffs):  # [num_half, L] -> one batched mul + digit sum
-        prods = ring.mul(hb_field, coeffs[None])  # [n, num_half, L]
-        return ring.sum(prods, axis=1)
+    def weighted(coeffs):  # [num_half, L] -> ONE fused contraction
+        # (mul-then-sum would band-embed the [n, num_half, L] operand:
+        # 30 GB at the 100k-SNP example_data scale)
+        return ring.dot_coeffs(hb_field, coeffs)
 
     normalizer = weighted(c4d)
     normalizer_sqrt = weighted(c2d)

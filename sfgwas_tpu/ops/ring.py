@@ -238,14 +238,22 @@ class Ring:
 
     def _np_exact_carry(self, x):
         """Numpy exact carry over the digit axis (int64); returns
-        (digits in [0,255], carry_out)."""
-        carry = np.zeros(x.shape[:-1], dtype=np.int64)
-        out = np.empty_like(x)
-        for j in range(x.shape[-1]):
-            t = x[..., j] + carry
-            carry = t >> DIGIT_BITS
-            out[..., j] = t - (carry << DIGIT_BITS)
-        return out, carry
+        (digits in [0,255], carry_out).
+
+        Carries shrink by 2^8 per pass (|q| <= (|x|+255)/256), so a few
+        whole-array shift passes replace the sequential per-digit loop --
+        the loop's ~W numpy dispatches per call dominated the host SS
+        engine at 100k-SNP protocol scale (QC profile: 60% of wall)."""
+        x = np.asarray(x, dtype=np.int64)
+        out = x.copy()
+        carry_out = np.zeros(x.shape[:-1], dtype=np.int64)
+        while True:
+            q = out >> DIGIT_BITS
+            if not q.any():
+                return out, carry_out
+            out -= q << DIGIT_BITS
+            out[..., 1:] += q[..., :-1]
+            carry_out += q[..., -1]
 
     def np_reduce(self, x) -> np.ndarray:
         """Host mirror of reduce(): any signed digit array -> canonical."""
@@ -492,6 +500,38 @@ class Ring:
             part = self.reduce(conv)
             out = part if out is None else self.add(out, part)
         return out
+
+    def dot_coeffs(self, a, coeffs):
+        """sum_k a[..., k, :] * coeffs[k, :] as ONE contraction.
+
+        The naive mul-then-sum materializes the banded convolution of the
+        big operand ([..., k, L, 2L-1] — 30 GB at 100k-SNP protocol scale);
+        here only the k small constants are band-embedded ([k, L, 2L-1])
+        and the digit convolution + k-sum fuse into a single matmul-shaped
+        einsum with an output-sized intermediate."""
+        k, L = coeffs.shape
+        assert L == self.nlimb and a.shape[-1] == L and a.shape[-2] == k
+        # per-term products <= 255^2; k*L of them must stay inside int32
+        assert k * L * 255 * 255 < (1 << 31), "chunk k: int32 overflow"
+        if self._on_host(a, coeffs):
+            c = np.asarray(coeffs, np.int64)
+            band = np.zeros((k, L, 2 * L - 1), np.int64)
+            for i in range(L):
+                band[:, i, i : i + L] = c
+            conv = np.einsum(
+                "...ki,kid->...d", np.asarray(a, np.int64), band
+            )
+            return self.np_reduce(conv)
+        return self._dot_coeffs_dev(a, jnp.asarray(coeffs))
+
+    @_jitmethod
+    def _dot_coeffs_dev(self, a, coeffs):
+        k, L = coeffs.shape
+        # band[k, i, d] = coeffs[k, d-i] (same banded embed as _mul_dev)
+        cp = jnp.pad(coeffs, [(0, 0), (L - 1, L - 1)])
+        idx = (jnp.arange(2 * L - 1)[None, :] - jnp.arange(L)[:, None]) + (L - 1)
+        band = cp[:, idx]  # [k, L, 2L-1]
+        return self.reduce(jnp.einsum("...ki,kid->...d", a, band))
 
     def sum(self, a, axis: int = 0):
         """Sum of canonical elements along a batch axis."""

@@ -17,7 +17,7 @@ Bit layout convention: LSB-first [n, nbits].
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+
 import numpy as np
 
 from ..ops import ring as R
@@ -26,21 +26,24 @@ from ..ops.ring import GF2
 
 def _to_pow2(mpc, a, plus_one_shift: bool):
     """Reinterpret field shares as power-of-two-ring shares of
-    shift * (x [+ 1]) [- 1], shift = 2^15 (mpc/mpc.go:1690-1708)."""
+    shift * (x [+ 1]) [- 1], shift = 2^15 (mpc/mpc.go:1690-1708).
+
+    Stays entirely on host numpy: this layer is round-lockstep protocol
+    math where device dispatch/compile dominates the digit arithmetic."""
     ring = mpc.ring
     ring2 = R.pow2_ring_for(ring)
     el = a
     if plus_one_shift and mpc.pid == mpc.hub_pid:
-        el = ring.add(el, jnp.broadcast_to(ring.const(1), el.shape))
+        el = ring.add(el, np.broadcast_to(ring.const_np(1), el.shape))
     el = ring.mul_int(el, 1 << 15)
     # canonical field digits < modulus < 2^bits2N: same digit array is a
     # valid pow2-ring element
-    x2 = jnp.asarray(el)
+    x2 = np.asarray(el)
     if ring2.nlimb != ring.nlimb:  # pragma: no cover
         raise ValueError("ring/pow2 companion digit mismatch")
     x2 = ring2.reduce(x2)
     if plus_one_shift and mpc.pid == mpc.hub_pid:
-        x2 = ring2.sub(x2, jnp.broadcast_to(ring2.const(1), x2.shape))
+        x2 = ring2.sub(x2, np.broadcast_to(ring2.const_np(1), x2.shape))
     return ring2, x2
 
 
@@ -163,11 +166,12 @@ def bit2a(mpc, bits_gf2):
     r_field, r_bits = mpc.share_random_bits(ring, GF2, n, 1, 1, True)
     masked = GF2.add(bits_gf2, r_bits[:, 0])
     v = mpc.reveal_sym(masked, GF2)
-    v = jnp.asarray(np.asarray(v), jnp.int32)  # public bits (garbage at pid 0)
+    v = np.asarray(v, np.int64)  # public bits (garbage at pid 0)
     sign = 1 - 2 * v  # +-1
-    out = ring.reduce(jnp.asarray(r_field) * sign[:, None])
+    out = ring.reduce(np.asarray(r_field, np.int64) * sign[:, None])
     if mpc.pid == mpc.hub_pid:
-        out = out.at[..., 0].add(v)
+        out = np.asarray(out, np.int64)
+        out[..., 0] += v
         out = ring.reduce(out)
     return out
 
@@ -190,7 +194,7 @@ def is_positive_2n(mpc, a):
     t_bits = r_bits
     if mpc.pid == mpc.hub_pid:
         t_bits = GF2.add(t_bits, np.ones_like(t_bits))
-    a_plus1 = ring2.add(a_rev, jnp.broadcast_to(ring2.const(1), a_rev.shape))
+    a_plus1 = ring2.add(a_rev, np.broadcast_to(ring2.const_np(1), a_rev.shape))
     if mpc.pid == 0:
         a_bits = GF2.zeros((n, num_bits))
     else:
@@ -225,7 +229,7 @@ def normalizer_even_exp_2n(mpc, a, k):
     t_bits = r_bits
     if mpc.pid == mpc.hub_pid:
         t_bits = GF2.add(t_bits, np.ones_like(t_bits))
-    a_plus1 = ring2.add(a_rev, jnp.broadcast_to(ring2.const(1), a_rev.shape))
+    a_plus1 = ring2.add(a_rev, np.broadcast_to(ring2.const_np(1), a_rev.shape))
     if mpc.pid == 0:
         a_bits = GF2.zeros((n, num_bits))
     else:
@@ -260,7 +264,7 @@ def normalizer_even_exp_2n(mpc, a, k):
     normalizer = weighted(c4d)
     normalizer_sqrt = weighted(c2d)
     if mpc.pid == mpc.hub_pid:
-        one = jnp.broadcast_to(ring.const(1), normalizer.shape)
+        one = np.broadcast_to(ring.const_np(1), normalizer.shape)
         normalizer = ring.add(normalizer, one)
         normalizer_sqrt = ring.add(normalizer_sqrt, one)
     return normalizer, normalizer_sqrt

@@ -104,6 +104,11 @@ class Ring:
                 (modulus >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(self.nlimb)
             )
         self._cache = {}
+        # native C++ limb engine (ops/native_ring.py); id if supported
+        from . import native_ring as _nr
+
+        self._nid = _nr.ring_id(modulus, kind)
+        self._nlib = _nr.lib() if self._nid is not None else None
 
     # Rings are compared by identity for jit static-arg hashing.
     def __hash__(self):
@@ -259,6 +264,12 @@ class Ring:
         """Host mirror of reduce(): any signed digit array -> canonical."""
         x = np.asarray(x, dtype=np.int64)
         L = self.nlimb
+        if self._nlib is not None and 1 <= x.shape[-1] <= 2 * L - 1:
+            nd = x.shape[-1]
+            flat = np.ascontiguousarray(x.reshape(-1, nd))
+            out = np.empty((flat.shape[0], L), np.int32)
+            self._nlib.sfg_ring_reduce64(self._nid, flat, flat.shape[0], nd, out)
+            return out.reshape(x.shape[:-1] + (L,))
         if x.shape[-1] < L:
             x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, L - x.shape[-1])])
         x, c_out = self._np_exact_carry(x)
@@ -379,8 +390,34 @@ class Ring:
         ge = borrow == 0  # no final borrow => x >= p
         return jnp.where(ge[..., None], y, x)
 
+    def _native_canon2(self, op, a, b):
+        """Native elementwise op on two canonical int32 digit arrays, or
+        None when the fast path doesn't apply.  Canonical inputs are int32
+        by construction (every host producer canonicalizes); non-canonical
+        intermediates are int64 and take the reduce path."""
+        if (
+            self._nlib is None
+            or not isinstance(a, np.ndarray)
+            or not isinstance(b, np.ndarray)
+            or a.dtype != np.int32
+            or b.dtype != np.int32
+            or a.shape[-1] != self.nlimb
+            or b.shape[-1] != self.nlimb
+        ):
+            return None
+        shape = np.broadcast_shapes(a.shape, b.shape)
+        af = np.ascontiguousarray(np.broadcast_to(a, shape)).reshape(-1, self.nlimb)
+        bf = np.ascontiguousarray(np.broadcast_to(b, shape)).reshape(-1, self.nlimb)
+        out = np.empty_like(af)
+        op(self._nid, af, bf, af.shape[0], out)
+        return out.reshape(shape)
+
     def add(self, a, b):
         if self._on_host(a, b):
+            if self._nlib:
+                out = self._native_canon2(self._nlib.sfg_ring_add, a, b)
+                if out is not None:
+                    return out
             return self.np_reduce(np.asarray(a, np.int64) + b)
         return self._add_dev(a, b)
 
@@ -390,6 +427,10 @@ class Ring:
 
     def sub(self, a, b):
         if self._on_host(a, b):
+            if self._nlib:
+                out = self._native_canon2(self._nlib.sfg_ring_sub, a, b)
+                if out is not None:
+                    return out
             return self.np_reduce(np.asarray(a, np.int64) - b)
         return self._sub_dev(a, b)
 
@@ -399,6 +440,16 @@ class Ring:
 
     def neg(self, a):
         if self._on_host(a):
+            if (
+                self._nlib
+                and isinstance(a, np.ndarray)
+                and a.dtype == np.int32
+                and a.shape[-1] == self.nlimb
+            ):
+                af = np.ascontiguousarray(a).reshape(-1, self.nlimb)
+                out = np.empty_like(af)
+                self._nlib.sfg_ring_neg(self._nid, af, af.shape[0], out)
+                return out.reshape(a.shape)
             return self.np_reduce(-np.asarray(a, np.int64))
         return self._neg_dev(a)
 
@@ -408,7 +459,13 @@ class Ring:
 
     def mul(self, a, b):
         if self._on_host(a, b):
-            return self.np_reduce(self._np_conv(np.asarray(a), np.asarray(b)))
+            a = np.asarray(a)
+            b = np.asarray(b)
+            if self._nlib:
+                out = self._native_canon2(self._nlib.sfg_ring_mul, a, b)
+                if out is not None:
+                    return out
+            return self.np_reduce(self._np_conv(a, b))
         return self._mul_dev(a, b)
 
     @_jitmethod
@@ -460,6 +517,12 @@ class Ring:
         r, k, _ = A.shape
         k2, c, _ = B.shape
         assert k == k2
+        if self._nlib and A.dtype == np.int32 and B.dtype == np.int32:
+            Af = np.ascontiguousarray(A)
+            Bf = np.ascontiguousarray(B)
+            out = np.empty((r, c, L), np.int32)
+            self._nlib.sfg_ring_matmul(self._nid, Af, Bf, r, k, c, out)
+            return out
         max_k = 896
         out = None
         for k0 in range(0, k, max_k):
@@ -511,9 +574,16 @@ class Ring:
         einsum with an output-sized intermediate."""
         k, L = coeffs.shape
         assert L == self.nlimb and a.shape[-1] == L and a.shape[-2] == k
-        # per-term products <= 255^2; k*L of them must stay inside int32
-        assert k * L * 255 * 255 < (1 << 31), "chunk k: int32 overflow"
         if self._on_host(a, coeffs):
+            a = np.asarray(a)
+            c32 = np.asarray(coeffs)
+            if self._nlib and a.dtype == np.int32 and c32.dtype == np.int32:
+                # native path accumulates in 64-bit limbs: no k bound
+                af = np.ascontiguousarray(a).reshape(-1, k, L)
+                cf = np.ascontiguousarray(c32)
+                out = np.empty((af.shape[0], L), np.int32)
+                self._nlib.sfg_ring_dot(self._nid, af, cf, af.shape[0], k, out)
+                return out.reshape(a.shape[:-2] + (L,))
             c = np.asarray(coeffs, np.int64)
             band = np.zeros((k, L, 2 * L - 1), np.int64)
             for i in range(L):
@@ -522,6 +592,11 @@ class Ring:
                 "...ki,kid->...d", np.asarray(a, np.int64), band
             )
             return self.np_reduce(conv)
+        # device path: per-term products <= 255^2; k*L of them plus the
+        # int32 carry-scan residual (up to ~1/255 of the digit) must stay
+        # inside int32 (ADVICE r2: leave carry headroom, or chunk k)
+        assert k * L * 255 * 255 < (1 << 31) * 255 // 256, \
+            "chunk k: int32 overflow on device"
         return self._dot_coeffs_dev(a, jnp.asarray(coeffs))
 
     @_jitmethod
@@ -625,6 +700,9 @@ class Ring:
         if self.kind != "prime":
             raw[..., -1] &= self.top_mask
             return raw.astype(np.int32)
+        if self._nlib is not None:
+            # raw < 2^{8L} < 2p: reduce == the single conditional subtract
+            return self.np_reduce(raw)
         p = np.array(self._p_digits, dtype=np.int64)
         y = raw - p
         borrow = np.zeros(raw.shape[:-1], dtype=np.int64)

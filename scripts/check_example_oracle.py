@@ -41,11 +41,22 @@ def main():
     for pid in (1, 2):
         d = os.path.join(args.data, f"party{pid}")
         G = read_pgen_blocks(
-            os.path.join(d, "geno", "chr"), list(range(1, args.nchrom + 1))
+            os.path.join(d, "geno"), list(range(1, args.nchrom + 1))
         )
+        yp = np.loadtxt(os.path.join(d, "pheno.txt"))
+        Cp = np.loadtxt(os.path.join(d, "cov.txt"))
+        # individual QC filter: the protocol drops samples via ikeep.txt
+        # (protocol.py individual_miss_het_filters) before association
+        ik_path = os.path.join(
+            os.path.dirname(os.path.dirname(args.gkeep)), f"party{pid}", "ikeep.txt"
+        )
+        if os.path.exists(ik_path):
+            ik = np.loadtxt(ik_path).astype(bool)
+            G, yp, Cp = G[ik], yp[ik], Cp[ik]
+            print(f"party{pid}: ikeep keeps {ik.sum()}/{ik.size} individuals")
         Gs.append(G)
-        ys.append(np.loadtxt(os.path.join(d, "pheno.txt")))
-        Cs.append(np.loadtxt(os.path.join(d, "cov.txt")))
+        ys.append(yp)
+        Cs.append(Cp)
     G = np.concatenate(Gs, axis=0).astype(np.float64)
     y = np.concatenate(ys)
     C = np.concatenate(Cs, axis=0)

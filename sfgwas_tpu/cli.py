@@ -31,6 +31,14 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    # SFGWAS_STACKDUMP=<secs>: periodically dump all thread stacks to stderr
+    # (watchdog-style liveness signal for long runs, reference sfgwas.go:64)
+    dump_every = int(os.environ.get("SFGWAS_STACKDUMP", "0"))
+    if dump_every > 0:
+        import faulthandler
+
+        faulthandler.dump_traceback_later(dump_every, repeat=True)
+
     from .utils.config import load_config
 
     if args.local_sim:
@@ -42,7 +50,17 @@ def main(argv=None):
         cluster = LocalCluster(nparty)
         outs = [None] * nparty
 
+        from .utils import devlock
+
+        # all parties share one process and one accelerator tunnel: serialize
+        # device access (see utils/devlock.py for the deadlock this prevents)
+        devlock.enable()
+
         def work(pid):
+            from .utils.log import log
+
+            log(f"pid{pid} worker starting")
+            devlock.acquire()
             cfg = load_config(args.config_global, args.config_local)
             # local-sim runs every party from one config: path fields may use
             # a literal {pid} placeholder for per-party data directories
@@ -61,9 +79,12 @@ def main(argv=None):
                 from .utils.watchdog import MemoryWatchdog
 
                 MemoryWatchdog(cfg.memory_limit).start()
-            prot = ProtocolInfo(cfg, pid, transport=cluster.transport(pid))
-            outs[pid] = prot.gwas()
-            prot.sync_and_terminate()
+            try:
+                prot = ProtocolInfo(cfg, pid, transport=cluster.transport(pid))
+                outs[pid] = prot.gwas()
+                prot.sync_and_terminate()
+            finally:
+                devlock.release()
 
         ts = [threading.Thread(target=work, args=(p,)) for p in range(nparty)]
         for t in ts:

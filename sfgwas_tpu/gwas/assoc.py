@@ -29,6 +29,7 @@ from ..mpc.mhe import CryptoParams
 from ..mpc.mpc import MPC
 from . import filestream as fs
 from . import matmult as MM
+from ..utils.log import log
 from .qrfact import net_dqr_enc
 
 
@@ -173,6 +174,7 @@ def get_association_stats(
 
         sxx_blocks, sxy_blocks, filters = [], [], []
         for b, blk in enumerate(geno_blocks):
+            log(f"pid{pid} assoc block {b + 1}/{len(geno_blocks)}")
             # per-block RESULT cache (ciphertexts + dosage sums, the
             # reference's GenoBlockMult caches, gwas/assoc.go:317-334);
             # diagonal encodings are NOT cached here -- each assoc block is

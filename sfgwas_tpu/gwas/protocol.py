@@ -20,6 +20,7 @@ from ..mpc.prg import Random
 from ..ops import ring as R
 from ..parallel.transport import LocalCluster, Network, TCPTransport
 from ..utils.config import Config
+from ..utils.log import log
 from . import assoc as assoc_mod
 from . import filestream as fs
 from . import pca as pca_mod
@@ -409,6 +410,12 @@ class ProtocolInfo:
         # HBM at once
         blocks = None
         if pid > 0:
+            # the streams were opened with replace_missing=False so QC could
+            # count the -1 sentinels; association consumes dosages, where
+            # missing must read as 0 (reference assoc streams run with
+            # replaceMissing=true, gwas/assoc.go:283 via filestream.go:383)
+            for b in self.geno_blocks:
+                b.replace_missing = True
             blocks = [
                 fs.LazyBlock(b)
                 for b in self.geno_blocks
@@ -490,15 +497,19 @@ class ProtocolInfo:
 
     def gwas(self):
         t0 = time.time()
+        log(f"pid{self.pid} phase1 (QC) start")
         self.phase1()
         t1 = time.time()
+        log(f"pid{self.pid} phase1 done in {t1-t0:.1f}s; phase2 (PCA) start")
         qpc = self.phase2()
         t2 = time.time()
+        log(f"pid{self.pid} phase2 done in {t2-t1:.1f}s; phase3 (assoc) start")
         out = self.phase3(qpc)
         t3 = time.time()
         print(
             f"[pid {self.pid}] GWAS protocol finished in {t3-t0:.1f}s "
-            f"(qc {t1-t0:.1f}s, pca {t2-t1:.1f}s, assoc {t3-t2:.1f}s)"
+            f"(qc {t1-t0:.1f}s, pca {t2-t1:.1f}s, assoc {t3-t2:.1f}s)",
+            flush=True,
         )
         return out
 

@@ -241,6 +241,7 @@ def collective_init(
     params = get_params(params_name)
     ctx = C.CkksContext(params)
     pid = net.pid
+    log(f"pid{pid} collective init start ({params_name})")
 
     if key_cache and os.path.exists(key_cache):
         z = np.load(key_cache)
@@ -271,7 +272,9 @@ def collective_init(
         sk = ctx.gen_secret_key(enc_rng)
 
     pk = collective_pubkey_gen(net, ctx, sk, crp_rng)
+    log(f"pid{pid} pubkey done")
     rlk = collective_relin_keygen(net, ctx, sk, crp_rng)
+    log(f"pid{pid} relin key done")
 
     rot_keys: Dict[int, C.KSwitchKey] = {}
     if shifts_override is not None:

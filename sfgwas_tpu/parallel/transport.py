@@ -34,6 +34,8 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
+from ..utils import devlock
+
 # ---------------------------------------------------------------------------
 # Codec
 
@@ -203,17 +205,19 @@ class LocalTransport:
         self.cluster.queues[(self.pid, to, self.channel)].put(obj)
 
     def recv_obj(self, frm: int, timeout: Optional[float] = 3600.0):
-        return self.cluster.queues[(frm, self.pid, self.channel)].get(
-            timeout=timeout
-        )
+        with devlock.yielding():
+            return self.cluster.queues[(frm, self.pid, self.channel)].get(
+                timeout=timeout
+            )
 
     def send_bytes(self, to: int, data: bytes):
         self.cluster.queues[(self.pid, to, self.channel)].put(data)
 
     def recv_bytes(self, frm: int, timeout: Optional[float] = 3600.0) -> bytes:
-        return self.cluster.queues[(frm, self.pid, self.channel)].get(
-            timeout=timeout
-        )
+        with devlock.yielding():
+            return self.cluster.queues[(frm, self.pid, self.channel)].get(
+                timeout=timeout
+            )
 
     def close(self):
         pass

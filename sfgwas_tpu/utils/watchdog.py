@@ -15,6 +15,7 @@ import os
 import threading
 import time
 
+from . import devlock
 from .log import log
 
 
@@ -53,7 +54,14 @@ class MemoryWatchdog:
             rss = _rss_bytes()
             self.peak = max(self.peak, rss)
             if rss > soft:
-                gc.collect()
+                # collecting drops device buffers (tunnel traffic): take the
+                # device lock in local-sim so the frees cannot overlap a
+                # party thread's compile (utils/devlock.py)
+                devlock.acquire()
+                try:
+                    gc.collect()
+                finally:
+                    devlock.release()
                 rss = _rss_bytes()
             if rss > self.limit and time.time() - warned > 60:
                 warned = time.time()

@@ -32,6 +32,9 @@ def make_data(tmpdir, rng):
             rng.uniform(size=(n, M)) < maf
         ).astype(np.int8)
         pheno = rng.normal(size=n) + 0.3 * g[:, 0] + 0.2 * g[:, 3]
+        # missing sentinels (-1): QC counts them raw; association must read
+        # them as dosage 0 (regression: phase-3 streams flip replace_missing)
+        g[rng.uniform(size=(n, M)) < 0.02] = -1
         cov = rng.normal(size=(n, NCOV))
         d = os.path.join(tmpdir, f"party{pid}")
         os.makedirs(d, exist_ok=True)
@@ -135,6 +138,7 @@ def oracle_stats(data, snp_filt, pcs=None):
     G = np.concatenate([data[1][0], data[2][0]], axis=0).astype(float)
     y = np.concatenate([data[1][1], data[2][1]])
     C = np.concatenate([data[1][2], data[2][2]], axis=0)
+    G[G < 0] = 0.0  # missing -> 0 dosage, as the protocol streams read it
     G = G[:, snp_filt]
     n = G.shape[0]
     cols = [np.ones(n), *[C[:, j] for j in range(C.shape[1])]]

@@ -45,8 +45,9 @@ def _reveal_bits(mpc: MPC, filt) -> np.ndarray:
     rev = mpc.reveal_sym(filt)
     if mpc.pid == 0:
         return np.zeros(filt.shape[0], dtype=bool)
-    vals = mpc.ring.to_ints(np.asarray(rev))
-    return np.array([int(v) != 0 for v in np.atleast_1d(vals)])
+    # revealed values are canonical 0/1 digits: nonzero test needs no
+    # bignum conversion (the per-element to_ints loop dominated QC reveal)
+    return np.any(np.asarray(rev) != 0, axis=-1)
 
 
 def snp_miss_filter(

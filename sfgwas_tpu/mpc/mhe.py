@@ -243,6 +243,27 @@ def collective_init(
     pid = net.pid
     log(f"pid{pid} collective init start ({params_name})")
 
+    kdir = key_cache + ".d" if key_cache else None
+    if kdir and os.path.exists(os.path.join(kdir, "meta.npz")):
+        # directory cache: one memory-mapped stack for all rotation keys --
+        # restore is instant (pages fault in lazily as slices are used)
+        z = np.load(os.path.join(kdir, "meta.npz"))
+        rk0 = np.load(os.path.join(kdir, "rk0.npy"), mmap_mode="r")
+        rk1 = np.load(os.path.join(kdir, "rk1.npy"), mmap_mode="r")
+        rot_keys = {
+            int(g): C.KSwitchKey(rk0[i], rk1[i])
+            for i, g in enumerate(z["gelems"])
+        }
+        log(f"pid{pid} keys restored from {kdir}")
+        return CryptoParams(
+            ctx,
+            C.SecretKey(jnp.asarray(z["sk"])),
+            C.PublicKey(jnp.asarray(z["pk0"]), jnp.asarray(z["pk1"])),
+            C.KSwitchKey(jnp.asarray(z["rlk0"]), jnp.asarray(z["rlk1"])),
+            rot_keys,
+            np.random.default_rng(),
+            keys_from_cache=True,
+        )
     if key_cache and os.path.exists(key_cache):
         z = np.load(key_cache)
         rot_keys = {}
@@ -297,19 +318,29 @@ def collective_init(
     log(f"pid{pid} collective init done")
 
     if key_cache:
-        data = {
-            "sk": np.asarray(sk.s),
-            "pk0": np.asarray(pk.p0),
-            "pk1": np.asarray(pk.p1),
-            "rlk0": np.asarray(rlk.d0),
-            "rlk1": np.asarray(rlk.d1),
-            "gelems": np.asarray(sorted(rot_keys), np.int64),
-        }
-        for g, k in rot_keys.items():
-            data[f"rk0_{g}"] = np.asarray(k.d0)
-            data[f"rk1_{g}"] = np.asarray(k.d1)
-        np.savez(key_cache, **data)
-        log(f"pid{pid} keys cached to {key_cache}")
+        # directory format: small keys in meta.npz, rotation keys as two
+        # raw stacked .npy files (sequential write; the old single .npz
+        # funneled ~2 GB through zipfile, ~3 min per party)
+        os.makedirs(kdir, exist_ok=True)
+        order = sorted(rot_keys)
+        np.save(
+            os.path.join(kdir, "rk0.npy"),
+            np.stack([np.asarray(rot_keys[g].d0) for g in order]),
+        )
+        np.save(
+            os.path.join(kdir, "rk1.npy"),
+            np.stack([np.asarray(rot_keys[g].d1) for g in order]),
+        )
+        np.savez(
+            os.path.join(kdir, "meta.npz"),
+            sk=np.asarray(sk.s),
+            pk0=np.asarray(pk.p0),
+            pk1=np.asarray(pk.p1),
+            rlk0=np.asarray(rlk.d0),
+            rlk1=np.asarray(rlk.d1),
+            gelems=np.asarray(order, np.int64),
+        )
+        log(f"pid{pid} keys cached to {kdir}")
 
     return CryptoParams(ctx, sk, pk, rlk, rot_keys, enc_rng)
 

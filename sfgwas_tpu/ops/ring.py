@@ -162,7 +162,57 @@ class Ring:
         return self.from_ints(ints)
 
     def to_float(self, digits, frac_bits: int) -> np.ndarray:
-        """Host: centered decode: values > modulus/2 are negative."""
+        """Host: centered decode: values > modulus/2 are negative.
+
+        Vectorized digit-domain path: sign by lexicographic compare against
+        modulus/2, magnitude via exact borrow-propagated M - v, then a
+        uint64 fold of the low 8 digits (fixed-point protocol values are
+        < 2^64 in magnitude; anything larger falls back to the exact
+        per-element bignum loop)."""
+        d = np.asarray(digits, dtype=np.int64)
+        scalar = d.ndim == 1
+        d2 = d.reshape(-1, self.nlimb)
+        neg = self._is_negative_digits(d2)
+        mag = np.where(neg[..., None], self._neg_digits(d2), d2)
+        if self.nlimb > 8 and mag[..., 8:].any():
+            return self._to_float_exact(digits, frac_bits)
+        k = min(8, self.nlimb)
+        w = (np.uint64(1) << (np.uint64(DIGIT_BITS) * np.arange(k, dtype=np.uint64)))
+        lo = (mag[..., :k].astype(np.uint64) * w).sum(-1, dtype=np.uint64)
+        out = lo.astype(np.float64) / float(1 << frac_bits)
+        out = np.where(neg, -out, out)
+        return out[0] if scalar else out.reshape(d.shape[:-1])
+
+    def _is_negative_digits(self, d2: np.ndarray) -> np.ndarray:
+        """Lexicographic v > modulus/2 on canonical digit rows [n, L]."""
+        half = np.asarray(
+            self._int_to_digit_list(self.modulus >> 1), dtype=np.int64
+        )
+        diff = d2 - half
+        nz = diff != 0
+        # index of the most significant differing digit (0 if none differ)
+        idx = self.nlimb - 1 - np.argmax(nz[..., ::-1], axis=-1)
+        top = np.take_along_axis(diff, idx[..., None], axis=-1)[..., 0]
+        return top > 0
+
+    def _neg_digits(self, d2: np.ndarray) -> np.ndarray:
+        """Exact (modulus - v) in digit form, vectorized borrow scan."""
+        if self.kind == "prime":
+            r = np.asarray(self._p_digits, dtype=np.int64) - d2
+        else:
+            r = -d2.astype(np.int64)
+        out = np.empty_like(r)
+        borrow = np.zeros(r.shape[:-1], dtype=np.int64)
+        for j in range(self.nlimb):
+            t = r[..., j] + borrow
+            borrow = t >> DIGIT_BITS
+            out[..., j] = t - (borrow << DIGIT_BITS)
+        if self.kind != "prime":
+            # 2^{8L} - v folds onto 2^bits - v under the canonical top mask
+            out[..., -1] &= self.top_mask
+        return out
+
+    def _to_float_exact(self, digits, frac_bits: int) -> np.ndarray:
         ints = self.to_ints(digits)
         half = self.modulus >> 1
         flat = np.atleast_1d(ints).reshape(-1)
@@ -696,7 +746,12 @@ class Ring:
         final conditional subtract of p is needed (one borrow scan instead of
         _host_canon's four carry passes -- this is the Beaver-mask hot path)."""
         shape = tuple(shape)
-        raw = rng.integers(0, 256, size=shape + (self.nlimb,), dtype=np.int64)
+        count = int(np.prod(shape, dtype=np.int64)) * self.nlimb if shape else self.nlimb
+        raw = (
+            np.frombuffer(rng.bytes(count), np.uint8)
+            .reshape(shape + (self.nlimb,))
+            .astype(np.int64)
+        )
         if self.kind != "prime":
             raw[..., -1] &= self.top_mask
             return raw.astype(np.int32)
@@ -716,7 +771,12 @@ class Ring:
     def rand_bits(self, rng: np.random.Generator, shape, nbits: int) -> np.ndarray:
         """Host: uniform in [0, 2^nbits)."""
         shape = tuple(shape)
-        raw = rng.integers(0, 256, size=shape + (self.nlimb,), dtype=np.int64)
+        count = int(np.prod(shape, dtype=np.int64)) * self.nlimb if shape else self.nlimb
+        raw = (
+            np.frombuffer(rng.bytes(count), np.uint8)
+            .reshape(shape + (self.nlimb,))
+            .astype(np.int64)
+        )
         d, r = nbits // DIGIT_BITS, nbits % DIGIT_BITS
         mask = np.zeros(self.nlimb, dtype=np.int64)
         mask[:d] = DIGIT_MASK
@@ -881,7 +941,10 @@ class GF2Ring:
         return np.bitwise_and(np.asarray(a), np.asarray(b))
 
     def rand(self, rng: np.random.Generator, shape) -> np.ndarray:
-        return rng.integers(0, 2, size=shape, dtype=np.int8)
+        shape = tuple(shape)
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        raw = np.frombuffer(rng.bytes((n + 7) // 8), np.uint8)
+        return np.unpackbits(raw)[:n].reshape(shape).astype(np.int8)
 
 
 GF2 = GF2Ring()

@@ -170,17 +170,21 @@ def _mask_pt(cps, idx_mask: np.ndarray, nmod: int) -> C.Plaintext:
     return cps.ctx.encode(idx_mask, nmod)
 
 
-def mask(cps, ct: C.Ciphertext, index: int, keep_rest: bool) -> Optional[C.Ciphertext]:
+def mask(
+    cps, ct: C.Ciphertext, index: int, keep_rest: bool, value: float = 1.0
+) -> Optional[C.Ciphertext]:
     """Zero out all but slot `index` (keep_rest=False) or zero out only slot
-    `index` (True); consumes one level (crypto/basics.go:150-172)."""
+    `index` (True); consumes one level (crypto/basics.go:150-172).  `value`
+    folds a scalar constant into the mask plaintext (saves the level a
+    separate CMultConst would spend)."""
     if ct is None:
         return None
     m = np.zeros(cps.slots)
     if keep_rest:
-        m[:] = 1.0
+        m[:] = value
         m[index] = 0.0
     else:
-        m[index] = 1.0
+        m[index] = value
     return cps.ctx.rescale(cps.ctx.mul_plain(ct, _mask_pt(cps, m, ct.nmod)))
 
 

@@ -527,6 +527,13 @@ class CkksContext:
         c = self._rescale_poly_b(c, src - 1)
         return c[0], c[1]
 
+    @_ctxjit(2)
+    def rescale2_many(self, c, src: int):
+        """Batched double-prime rescale: c [B, src+1, N] -> [B, src-1, N]
+        (one program for a whole matmult output row set)."""
+        c = self._rescale_poly_b(c, src)
+        return self._rescale_poly_b(c, src - 1)
+
     def _rescale_poly_b(self, c, src: int):
         """c: [B, src+1, N] NTT -> [B, src, N] divided by q_src (traced)."""
         dst = tuple(range(src))
@@ -758,6 +765,105 @@ class CkksContext:
         c0g = jnp.take_along_axis(c0[None], perms[:, None, :], axis=-1)
         k0, k1 = self.keyswitch_decomposed_b(ext_g, k0s, k1s, nmod)
         return add_mod(c0g, k0, t["q"]), k1
+
+    def galois_inverse(self, g: int) -> int:
+        """g^{-1} mod 2N: sigma_g^{-1} = sigma_{g^{-1}} (g is odd)."""
+        return pow(int(g), -1, 2 * self.n)
+
+    def _iperm_for(self, g: int) -> jnp.ndarray:
+        """Permutation of sigma_g^{-1} in the NTT slot order."""
+        return self._perm_for(self.galois_inverse(g))
+
+    def iperms_for(self, gs) -> jnp.ndarray:
+        return jnp.stack([self._iperm_for(g) for g in gs])
+
+    @_ctxjit(6)
+    def hoisted_rotations_all(self, c0s, c1s, perms, ik0s, ik1s, nmod: int):
+        """Hoisted rotations batched over BOTH ciphertext rows and shifts:
+        c0s/c1s [s, nmod, N]; perms [B, N] Galois permutations; ik0s/ik1s
+        [B, nmod, next, N] stacked keys pre-permuted by sigma_b^{-1}
+        (CryptoParams.stacked_keys_inv).  Returns (R0, R1) [B, s, nmod, N].
+
+        Identity: sigma_b(ext_j) * k_bj = sigma_b(ext_j * sigma_b^{-1} k_bj),
+        so ONE decomposition of all s ciphertexts multiplies un-permuted
+        against inverse-permuted keys; only the digit-summed ModDown'ed
+        result is permuted.  The [B, s, nmod, next, N] permuted-extension
+        tensor of the per-row path never materializes, and the whole
+        matmult row loop collapses into this single device program."""
+        s = c0s.shape[0]
+        Bn = perms.shape[0]
+        ext_rows = tuple(range(nmod)) + (self.sp_row,)
+        t = _sel(self.basis, ext_rows)
+        q3 = t["q"][None, None]
+        mu3 = t["mu"][None, None]
+        ext = self.decompose_ntt_b(c1s, nmod)  # [s, nmod, next, N]
+        # contract the digit axis with a scan (lazy u32 sums: nmod*q < 2^32
+        # for every preset): per-step working set is one [s,B,x,N] product,
+        # never the [s,B,j,x,N] tensor a broadcast contraction materializes
+        def dig(carry, j):
+            a0, a1 = carry
+            ej = jax.lax.dynamic_index_in_dim(ext, j, 1, keepdims=False)
+            k0j = jax.lax.dynamic_index_in_dim(ik0s, j, 1, keepdims=False)
+            k1j = jax.lax.dynamic_index_in_dim(ik1s, j, 1, keepdims=False)
+            a0 = a0 + mul_mod_barrett(ej[:, None], k0j[None], q3, mu3)
+            a1 = a1 + mul_mod_barrett(ej[:, None], k1j[None], q3, mu3)
+            return (a0, a1), None
+
+        z = jnp.zeros((s, Bn, nmod + 1, self.n), jnp.uint32)
+        (p0, p1), _ = jax.lax.scan(dig, (z, z), jnp.arange(nmod))
+        acc0 = self._reduce_u32(p0, ext_rows)  # [s, B, x, N]
+        acc1 = self._reduce_u32(p1, ext_rows)
+        k0 = self._moddown_b(acc0.reshape(s * Bn, nmod + 1, self.n), nmod)
+        k1 = self._moddown_b(acc1.reshape(s * Bn, nmod + 1, self.n), nmod)
+        k0 = k0.reshape(s, Bn, nmod, self.n)
+        k1 = k1.reshape(s, Bn, nmod, self.n)
+        pg = perms[None, :, None, :]
+        k0 = jnp.take_along_axis(k0, pg, axis=-1)
+        k1 = jnp.take_along_axis(k1, pg, axis=-1)
+        c0g = jnp.take_along_axis(
+            jnp.broadcast_to(c0s[:, None], k0.shape), pg, axis=-1
+        )
+        tq = _sel(self.basis, tuple(range(nmod)))["q"]
+        R0 = add_mod(c0g, k0, tq)
+        return jnp.swapaxes(R0, 0, 1), jnp.swapaxes(k1, 0, 1)
+
+    @_ctxjit(6)
+    def rotate_grouped_b(self, c0s, c1s, perms, ik0s, ik1s, nmod: int):
+        """Giant-step epilogue rotations batched over rows: c0s/c1s
+        [R, s, nmod, N] (R rotation groups x s ciphertext rows), perms
+        [R, N], ik0s/ik1s [R, nmod, next, N] inverse-permuted keys shared
+        by the s rows of each group.  Returns (r0, r1) [R, s, nmod, N]."""
+        R, s = c0s.shape[0], c0s.shape[1]
+        ext_rows = tuple(range(nmod)) + (self.sp_row,)
+        t = _sel(self.basis, ext_rows)
+        q3 = t["q"][None, None]
+        mu3 = t["mu"][None, None]
+        ext = self.decompose_ntt_b(
+            c1s.reshape(R * s, nmod, self.n), nmod
+        ).reshape(R, s, nmod, nmod + 1, self.n)
+        def dig(carry, j):
+            a0, a1 = carry
+            ej = jax.lax.dynamic_index_in_dim(ext, j, 2, keepdims=False)
+            k0j = jax.lax.dynamic_index_in_dim(ik0s, j, 1, keepdims=False)
+            k1j = jax.lax.dynamic_index_in_dim(ik1s, j, 1, keepdims=False)
+            a0 = a0 + mul_mod_barrett(ej, k0j[:, None], q3, mu3)
+            a1 = a1 + mul_mod_barrett(ej, k1j[:, None], q3, mu3)
+            return (a0, a1), None
+
+        z = jnp.zeros((R, s, nmod + 1, self.n), jnp.uint32)
+        (p0, p1), _ = jax.lax.scan(dig, (z, z), jnp.arange(nmod))
+        acc0 = self._reduce_u32(p0, ext_rows)
+        acc1 = self._reduce_u32(p1, ext_rows)
+        k0 = self._moddown_b(acc0.reshape(R * s, nmod + 1, self.n), nmod)
+        k1 = self._moddown_b(acc1.reshape(R * s, nmod + 1, self.n), nmod)
+        k0 = k0.reshape(R, s, nmod, self.n)
+        k1 = k1.reshape(R, s, nmod, self.n)
+        pg = perms[:, None, None, :]
+        k0 = jnp.take_along_axis(k0, pg, axis=-1)
+        k1 = jnp.take_along_axis(k1, pg, axis=-1)
+        c0g = jnp.take_along_axis(c0s, pg, axis=-1)
+        tq = _sel(self.basis, tuple(range(nmod)))["q"]
+        return add_mod(c0g, k0, tq), k1
 
     def hoisted_rotations(self, ct: Ciphertext, shifts, rot_keys):
         """Rotate one ciphertext by many shifts, decomposing c1 only once

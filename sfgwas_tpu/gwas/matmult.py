@@ -332,6 +332,50 @@ def _mac_scan(ACC0, ACC1, R0, R1, polys, idxm, bidxm, seg2m, sgm, q, mu, m32,
     return ACC0, ACC1
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nseg", "nsub"), donate_argnums=(0, 1)
+)
+def _mac_scan_b(ACC0, ACC1, R0, R1, polys, idxm, bidxm, seg2m, sgm, q, mu,
+                m32, nseg, nsub):
+    """_mac_scan batched over ciphertext rows: R*: [nB, s, nmod, N] hoisted
+    rotations for ALL s rows of A; ACC*: [nseg_tot+1, s, nmod, N] donated.
+    The row axis rides along every gather/segment op (indices are shared),
+    so the whole A x block product is ONE scanned device program."""
+
+    def red(x):
+        qhat = _mulhi32(x, m32)
+        r = x - qhat * q
+        r = jnp.where(r >= q, r - q, r)
+        return jnp.where(r >= q, r - q, r)
+
+    def body(carry, x):
+        A0, A1 = carry
+        idx, bidx, seg2, sg = x
+        P = polys[idx][:, None]  # [K, 1, nmod, N] broadcast over rows
+
+        def one(R):
+            p = mul_mod_barrett(R[bidx], P, q, mu)
+            a = jax.ops.segment_sum(p, seg2, num_segments=nseg * nsub + 1)[:-1]
+            a = red(a)
+            if nsub > 1:
+                a = jnp.sum(
+                    a.reshape(nseg, nsub, *a.shape[1:]), axis=1,
+                    dtype=jnp.uint32,
+                )
+                a = red(a)
+            return a
+
+        a0, a1 = one(R0), one(R1)
+        A0 = A0.at[sg].set(add_mod(A0[sg], a0, q))
+        A1 = A1.at[sg].set(add_mod(A1[sg], a1, q))
+        return (A0, A1), None
+
+    (ACC0, ACC1), _ = jax.lax.scan(
+        body, (ACC0, ACC1), (idxm, bidxm, seg2m, sgm)
+    )
+    return ACC0, ACC1
+
+
 @functools.partial(jax.jit, static_argnames=("nbc",))
 def _combine_rotated(r0, r1, bj_ids, q, m32, nbc):
     """Sum the rotated giant-group ciphertexts per output block column:
@@ -354,8 +398,9 @@ class _MatmulPlan:
     (block-col, giant), per-block-row baby unions, and group-aligned chunks
     stacked into per-device scan groups feeding _mac_scan."""
 
-    def __init__(self, cps: CryptoParams, cache, nmod: int):
+    def __init__(self, cps: CryptoParams, cache, nmod: int, row_batch: int = 1):
         self.nmod = nmod
+        self.row_batch = row_batch
         self.d = cache[0][0].d
         nbr, nbc = len(cache), len(cache[0])
         self.nbr, self.nbc = nbr, nbc
@@ -410,8 +455,13 @@ class _MatmulPlan:
                     max_group,
                     max(bounds[x + 1] - bounds[x] for x in range(len(bounds) - 1)),
                 )
+                # the batched-row kernel materializes [K, row_batch,
+                # nmod, N] products per scan step: scale the chunk budget
+                # down so the working set stays constant
                 budget = max(
-                    1, MM_CHUNK_BYTES // (nmod * blk.polys.shape[-1] * 4)
+                    1,
+                    MM_CHUNK_BYTES
+                    // (nmod * blk.polys.shape[-1] * 4 * row_batch),
                 )
                 start = 0
                 for x in range(len(bounds) - 1):
@@ -561,11 +611,11 @@ class _MatmulPlan:
 _plan_cache: Dict[int, _MatmulPlan] = {}
 
 
-def _plan_for(cps, cache, nmod) -> _MatmulPlan:
+def _plan_for(cps, cache, nmod, row_batch: int = 1) -> _MatmulPlan:
     key = id(cache)
     plan = _plan_cache.get(key)
-    if plan is None or plan.nmod != nmod:
-        plan = _MatmulPlan(cps, cache, nmod)
+    if plan is None or plan.nmod != nmod or plan.row_batch != row_batch:
+        plan = _MatmulPlan(cps, cache, nmod, row_batch)
         _plan_cache.clear()  # hold at most a few plans
         _plan_cache[key] = plan
     return plan
@@ -614,10 +664,9 @@ def mat_mult_cached(
     q, mu = t["q"], t["mu"]
     m32 = ctx.m32[jnp.asarray(rows)]
     d = some.d
-    plan = _plan_for(cps, cache, nmod)
-    nseg_tot = len(plan.segments)
-
     multi = devices is not None and len(devices) > 1
+    plan = _plan_for(cps, cache, nmod, row_batch=(1 if multi else s))
+    nseg_tot = len(plan.segments)
     groups = plan.scan_groups(devices if multi else None)
 
     # batched giant-rotation keys (epilogue)
@@ -644,6 +693,114 @@ def mat_mult_cached(
             now = _time.time()
             _tlog.append((tag, now - _t0))
             _t0 = now
+
+    if not multi:
+        # ---- batched-row path: every A row rides one hoisted-keyswitch,
+        # one scanned MAC and one grouped giant keyswitch (per-row loops
+        # cost ~10x the kernel time in per-dispatch tunnel latency)
+        ACC0 = jnp.zeros((nseg_tot + 1, s, nmod, ctx.n), jnp.uint32)
+        ACC1 = jnp.zeros((nseg_tot + 1, s, nmod, ctx.n), jnp.uint32)
+        for bi in range(nbr):
+            babies = plan.babies[bi]
+            if not babies:
+                continue
+            cts = [ctx.drop_to(A[i][bi], nmod) for i in range(s)]
+            C0s = jnp.stack([c.c0 for c in cts])
+            C1s = jnp.stack([c.c1 for c in cts])
+            nz = [b for b in babies if b % cps.slots != 0]
+            if nz:
+                gl = [ctx.galois_for_rotation(b) for b in nz]
+                ik0, ik1 = cps.stacked_keys_inv(gl, nmod)
+                R0nz, R1nz = ctx.hoisted_rotations_all(
+                    C0s, C1s, ctx.perms_for(gl), ik0, ik1, nmod
+                )
+            if len(nz) != len(babies):
+                rows0, rows1, j = [], [], 0
+                for b0 in babies:
+                    if b0 % cps.slots == 0:
+                        rows0.append(C0s)
+                        rows1.append(C1s)
+                    else:
+                        rows0.append(R0nz[j])
+                        rows1.append(R1nz[j])
+                        j += 1
+                R0 = jnp.stack(rows0)
+                R1 = jnp.stack(rows1)
+            else:
+                R0, R1 = R0nz, R1nz
+            if nz:
+                del R0nz, R1nz
+            if timing:
+                _tick(f"hoisted_all[{bi}]", R0)
+            if R0.shape[0] < plan.nb_pad:
+                padr = jnp.zeros(
+                    (plan.nb_pad - R0.shape[0], s, nmod, ctx.n), jnp.uint32
+                )
+                R0 = jnp.concatenate([R0, padr])
+                R1 = jnp.concatenate([R1, padr])
+            del cts, C0s, C1s
+            for g in groups[bi]:
+                ACC0, ACC1 = _mac_scan_b(
+                    ACC0, ACC1, R0, R1, g["polys"], g["idx"], g["bidx"],
+                    g["seg2"], g["sg"], q, mu, m32,
+                    nseg=plan.nseg_pad, nsub=plan.nsub,
+                )
+            del R0, R1
+            if timing:
+                _tick(f"mac_scan_b[{bi}]", ACC0)
+
+        in_scale = A[0][0].scale * ctx.params.scale
+        if rot_segs:
+            idx = jnp.asarray(rot_segs, dtype=jnp.int32)
+            ig0, ig1 = cps.stacked_keys_inv(uniq_gels, nmod)
+            r0, r1 = ctx.rotate_grouped_b(
+                ACC0[idx], ACC1[idx], ctx.perms_for(gels),
+                ig0[gsel], ig1[gsel], nmod,
+            )
+            bj_ids = jnp.asarray(
+                [plan.segments[si][0] for si in rot_segs], dtype=jnp.int32
+            )
+            # lazy-u32 combine bound: giants per block column < max_lazy
+            assert max(
+                sum(1 for si in rot_segs if plan.segments[si][0] == bj)
+                for bj in range(nbc)
+            ) <= plan.max_lazy
+            s0, s1 = _combine_rotated(r0, r1, bj_ids, q, m32, nbc=nbc)
+        else:
+            s0 = s1 = jnp.zeros((nbc, s, nmod, ctx.n), jnp.uint32)
+        c0f, c1f = s0, s1
+        zsegs = [
+            (bj, plan.seg_index[(bj, 0)])
+            for bj in range(nbc)
+            if (bj, 0) in plan.seg_index
+        ]
+        if zsegs:
+            bjz = jnp.asarray([z[0] for z in zsegs], dtype=jnp.int32)
+            siz = jnp.asarray([z[1] for z in zsegs], dtype=jnp.int32)
+            c0f = c0f.at[bjz].set(add_mod(c0f[bjz], ACC0[siz], q))
+            c1f = c1f.at[bjz].set(add_mod(c1f[bjz], ACC1[siz], q))
+        # batched double rescale of all (bj, i) outputs at once
+        stack = jnp.concatenate(
+            [c0f.reshape(nbc * s, nmod, ctx.n), c1f.reshape(nbc * s, nmod, ctx.n)]
+        )
+        res = ctx.rescale2_many(stack, nmod - 1)
+        out_scale = (
+            in_scale / ctx.basis.primes[nmod - 1] / ctx.basis.primes[nmod - 2]
+        )
+        r0f = res[: nbc * s].reshape(nbc, s, nmod - 2, ctx.n)
+        r1f = res[nbc * s :].reshape(nbc, s, nmod - 2, ctx.n)
+        if timing:
+            _tick("epilogue_b", r0f)
+            for tag, dt in _tlog:
+                if dt > 0.05:
+                    print(f"  [mm-timing] {tag}: {dt:.2f}s", flush=True)
+        return [
+            [
+                C.Ciphertext(r0f[bj, i], r1f[bj, i], nmod - 2, out_scale)
+                for bj in range(nbc)
+            ]
+            for i in range(s)
+        ]
 
     out: B.CipherMatrix = []
     for i in range(s):
@@ -882,10 +1039,16 @@ def qx_lazy_norm_stream(
             cps.ctx.sub(cps.ctx.drop_to(ct, nm), cps.ctx.drop_to(qsm, nm))
             for ct in out[i]
         ]
+    # the matmult band leaves no level for the trailing-slot mask: refresh
+    # first (level-subtract above is drop-only), mask at the top -- same
+    # single collective round, moved before the masking (the qxt variant
+    # already orders its chain this way)
+    out = mhe.bootstrap_mat_all(mpc.net, cps, out)
+    for i in range(len(out)):
         for j in range(len(out[i])):
             n_keep = slots if j < len(out[i]) - 1 else ((num_ind - 1) % slots) + 1
             out[i][j] = B.mask_trunc(cps, out[i][j], n_keep, post_scale)
-    return mhe.bootstrap_mat_all(mpc.net, cps, out)
+    return out
 
 
 def qxt_lazy_norm_stream(

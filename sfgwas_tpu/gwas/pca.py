@@ -25,6 +25,7 @@ from ..mpc import linalg, mhe, ss_he
 from ..mpc.mhe import CryptoParams
 from ..mpc.mpc import MPC
 from ..ops import ring as R
+from ..utils.log import log
 from . import matmult as MM
 
 
@@ -187,6 +188,7 @@ def distributed_pca(
 
     # ---- power iterations (gwas/pca.go:339-371)
     for it in range(it_start, num_power_iters):
+        log(f"pid{pid} PCA power iter {it + 1}/{num_power_iters}")
         if pid > 0:
             Qs = MM.qxt_lazy_norm_stream(
                 cps, mpc, Q, x_cache, x_mean, x_stdinv, post_scale=inv_sqrt_n
@@ -219,13 +221,14 @@ def distributed_pca(
                 for idx in ([i * kp + j, j * kp + i] if i != j else [i * kp + j]):
                     ctid, slotid = idx // slots, idx % slots
                     # iprod holds the value in every slot; mask selects one
-                    masked = B.mask(cps, iprod, slotid, False)
+                    # with 1/n folded in (no level left for a CMultConst:
+                    # inner_prod already ran down the rotation band)
+                    masked = B.mask(cps, iprod, slotid, False, value=inv_n)
                     zloc[ctid] = cps.ctx.add(
                         cps.ctx.drop_to(zloc[ctid], min(zloc[ctid].nmod, masked.nmod)),
                         cps.ctx.drop_to(masked, min(zloc[ctid].nmod, masked.nmod)),
                     )
         z = mhe.aggregate_cvec(mpc.net, cps, zloc)
-        z = B.cmult_const(cps, z, inv_n, rescale=True)
         z = mhe.bootstrap_vec(mpc.net, cps, z, -1)
     else:
         z = None

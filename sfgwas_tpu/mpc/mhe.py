@@ -123,6 +123,36 @@ class CryptoParams:
             self._kstack[key] = (d0, d1)
         return self._kstack[key]
 
+    def stacked_keys_inv(self, gelems, nmod: int):
+        """Stacked keys pre-permuted by sigma_g^{-1} along the slot axis,
+        for the batched hoisted/grouped rotation kernels
+        (ckks.hoisted_rotations_all): sigma(ext)*k == sigma(ext*sigma^{-1}k)
+        lets the kernel permute only the final [.., nmod, N] result.  Cached
+        per (gelems, nmod) beside the plain stacks."""
+        key = ("inv", tuple(gelems), nmod)
+        if key not in self._kstack:
+            # built straight from the (host/mmap) key store so the plain
+            # device stack is not also resident for this gelem set
+            some = self.rot_keys[gelems[0]]
+            ridx = np.asarray(tuple(range(nmod)) + (int(some.d0.shape[1]) - 1,))
+            # gather on HOST (keys live host/mmap-resident): the device never
+            # holds both the plain and the permuted stack at once
+            i0 = np.empty(
+                (len(gelems), nmod, len(ridx), self.ctx.n), np.uint32
+            )
+            i1 = np.empty_like(i0)
+            for x, g in enumerate(gelems):
+                ip = np.asarray(self.ctx._iperm_for(g))
+                i0[x] = np.asarray(self.rot_keys[g].d0)[:nmod][:, ridx][..., ip]
+                i1[x] = np.asarray(self.rot_keys[g].d1)[:nmod][:, ridx][..., ip]
+            i0 = jnp.asarray(i0)
+            i1 = jnp.asarray(i1)
+            used = sum(a.nbytes + b.nbytes for a, b in self._kstack.values())
+            if used + i0.nbytes + i1.nbytes > self._KSTACK_BUDGET:
+                return i0, i1
+            self._kstack[key] = (i0, i1)
+        return self._kstack[key]
+
     def rotate(self, ct: C.Ciphertext, k: int) -> C.Ciphertext:
         """Single left rotation through the cached level-sliced key path."""
         k = k % self.slots

@@ -188,6 +188,16 @@ def mask(
     return cps.ctx.rescale(cps.ctx.mul_plain(ct, _mask_pt(cps, m, ct.nmod)))
 
 
+def ones_rescale(cps, ct: C.Ciphertext) -> C.Ciphertext:
+    """Multiply by the all-ones plaintext and rescale: a no-op on the
+    values that spends exactly one level.  Non-pivot parties/cts mirror a
+    peer's mask through this so levels AND scales stay identical across
+    the mesh (diverged scales force an alignment multiply inside the next
+    aggregate, which silently burns another level)."""
+    m = np.ones(cps.slots)
+    return cps.ctx.rescale(cps.ctx.mul_plain(ct, _mask_pt(cps, m, ct.nmod)))
+
+
 def mask_trunc(cps, ct: C.Ciphertext, n_keep: int, scale_const: float = 1.0) -> C.Ciphertext:
     """Keep the first n_keep slots, optionally folding a scalar constant
     into the mask plaintext (saves a level vs a separate CMultConst)

@@ -73,6 +73,10 @@ def net_dqr_enc(
                 uvec = B.copy_vec(A[0])
             with prof.span("qr_aggz"):
                 z = mhe.aggregate_ct(mpc.net, cps, zloc)
+            log(
+                f"pid{pid} DQR col{col}: A nmod={A[0][0].nmod} "
+                f"z nmod={z.nmod} band={qr_band}"
+            )
         else:
             z = None
 
@@ -162,12 +166,20 @@ def net_dqr_enc(
                     ]
                 )
             A = mhe.bootstrap_mat_all(mpc.net, cps, newA, target_nmod=qr_band)
-            # drop first column; mask out the pivot row
+            # drop first column; mask out the pivot row.  EVERY ct at EVERY
+            # party passes through the same mask-rescale: a pivot-only mask
+            # leaves levels and scales diverged across the mesh, and the
+            # scale-alignment multiply that forces inside the next column's
+            # z-aggregate burns the working band down to the base (observed
+            # as an HE->SS headroom failure on the PN14 example run)
             A = A[1:]
-            if upid == pid and A:
-                for c in range(len(A)):
-                    A[c][ctid] = B.mask(cps, A[c][ctid], slotid, True)
             if A:
+                for c in range(len(A)):
+                    for ti in range(len(A[c])):
+                        if upid == pid and ti == ctid:
+                            A[c][ti] = B.mask(cps, A[c][ti], slotid, True)
+                        else:
+                            A[c][ti] = B.ones_rescale(cps, A[c][ti])
                 A, _ = B.flatten_levels(cps, A)
         # party 0 participates in the aggregated/SS ops only; it has no
         # ciphertext columns to update here

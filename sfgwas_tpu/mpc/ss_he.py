@@ -174,7 +174,9 @@ def _cmat_to_ss(
             # headroom check: masked plaintext must fit the modulus
             need_bits = int(math.log2(enc_scale)) + b + 10
             assert ctx.params.q_prod(nmod).bit_length() > need_bits + 1, (
-                "ciphertext level too low for HE->SS conversion"
+                f"ciphertext level too low for HE->SS conversion: nmod={nmod} "
+                f"({ctx.params.q_prod(nmod).bit_length()} bits) < need "
+                f"{need_bits + 1} (scale={ct.scale:.3e}, frac={f})"
             )
             w = rns.words_sample_centered(cps.enc_rng, b, slots)
             mu_ints = _words_to_ints(w)

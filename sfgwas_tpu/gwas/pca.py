@@ -42,6 +42,7 @@ def distributed_pca(
     restart_iter: int = 0,
     skip_power_iter: bool = False,
     debug: bool = False,
+    iter_per_eigenval: int = 5,
 ) -> B.CipherMatrix:
     ring = mpc.ring
     pid = mpc.pid
@@ -237,7 +238,7 @@ def distributed_pca(
     zmat = zss.reshape(kp, kp, ring.nlimb)
 
     # ---- eigendecomposition in SS (gwas/pca.go:444-461)
-    V, L = linalg.eigen_decomp(mpc, zmat)
+    V, L = linalg.eigen_decomp(mpc, zmat, iter_per_eval=iter_per_eigenval)
     V, L = linalg.sort_rows_descend(mpc, V, L)
     V = V[:npc]
 

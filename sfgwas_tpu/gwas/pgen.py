@@ -138,19 +138,30 @@ class PgenReader:
     def read_all(self) -> np.ndarray:
         """Decode every variant -> int8 [sample_ct, variant_ct]
         (0/1/2 dosage, -1 missing)."""
+        return self.read_range(0, self.variant_ct)
+
+    def read_range(self, v0: int, v1: int) -> np.ndarray:
+        """Decode variants [v0, v1) -> int8 [sample_ct, v1-v0].  The window
+        extends backward internally to the nearest non-LD record so LD
+        chains resolve; callers stream batches (config pgen_batch_nsnp,
+        reference gwas/assoc.go:354-419) with bounded memory."""
         d = self._data
         sct = self.sample_ct
-        vct = self.variant_ct
+        base_all = self.vrtypes & 7
+        lo = v0
+        while lo > 0 and base_all[lo] in (2, 3):
+            lo -= 1
+        vct = v1 - lo
         out = np.zeros((vct, sct), np.int8)
-        base = self.vrtypes & 7
-        has_tracks = self.vrtypes >= 8  # phase/dosage tracks follow
+        base = base_all[lo:v1]
+        has_tracks = self.vrtypes[lo:v1] >= 8  # phase/dosage tracks follow
 
         # type 0: batch-decode all direct records at once
         t0 = np.where(base == 0)[0]
         if t0.size:
             nb = (sct + 3) // 4
             recs = np.zeros((t0.size, nb), np.uint8)
-            for j, i in enumerate(t0):
+            for j, i in enumerate(t0 + lo):
                 recs[j] = d[self.rec_offs[i] : self.rec_offs[i] + nb]
             k = np.arange(sct)
             codes = (recs[:, k // 4] >> (2 * (k % 4)).astype(np.uint8)) & 3
@@ -169,7 +180,7 @@ class PgenReader:
             if bt == 0:
                 ld_base = out[i]
                 continue
-            rec = d[self.rec_offs[i] : self.rec_offs[i + 1]]
+            rec = d[self.rec_offs[lo + i] : self.rec_offs[lo + i + 1]]
             if bt == 1:
                 b0 = int(rec[0])
                 val1, val0 = b0 & 3, (b0 >> 2) & 3
@@ -192,13 +203,13 @@ class PgenReader:
                 g = np.full(sct, bt - 4, np.uint8)
                 ids, vals, pos = self._decode_difflist(rec, 0)
             if not has_tracks[i]:
-                assert pos == len(rec), (self.path, int(i), pos, len(rec))
+                assert pos == len(rec), (self.path, int(lo + i), pos, len(rec))
             if ids.size:
                 g[ids] = vals
             out[i] = g
             if bt not in (2, 3):
                 ld_base = out[i]
-        res = out.T.astype(np.int8)
+        res = out[v0 - lo :].T.astype(np.int8)
         return np.where(res == 3, np.int8(-1), res)
 
 

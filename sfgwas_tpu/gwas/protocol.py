@@ -48,6 +48,16 @@ class ProtocolInfo:
         rand = Random(pid, nparty, config.shared_keys_path or None)
         self.net = Network(transport, pid, nparty, config.hub_party_id, rand)
 
+        if config.mpc_num_threads > 1 or config.local_num_threads > 1:
+            # the reference fans SS/HE work over thread pools
+            # (mpc/mpc.go:2639-2791); here the same parallelism lives in
+            # vectorized SS tensors and batched device kernels, so the
+            # thread counts are accepted for config compatibility but do
+            # not spawn workers
+            log(
+                f"pid{pid} note: mpc_num_threads/local_num_threads are "
+                "subsumed by the vectorized SS/HE engines"
+            )
         ring = R.field_for_size(config.mpc_field_size)
         self.mpc = MPC(
             self.net,
@@ -99,6 +109,7 @@ class ProtocolInfo:
 
                 os.makedirs(config.cache_dir, exist_ok=True)
                 nchrom = config.geno_num_blocks or 22
+                batch = max(1, int(config.pgen_batch_nsnp or 8192))
                 for i in range(nchrom):
                     pg = f"{config.geno_binary_file_prefix}/chr{i + 1}.pgen"
                     r = PgenReader(pg)
@@ -106,7 +117,19 @@ class ProtocolInfo:
                     self.geno_block_sizes.append(bs)
                     conv = os.path.join(config.cache_dir, f"geno_pgen.{i}.bin")
                     if not os.path.exists(conv):
-                        r.read_all().tofile(conv)
+                        # stream pgen_batch_nsnp variants at a time into the
+                        # sample-major block file: peak host memory stays
+                        # O(samples x batch), not O(samples x chromosome)
+                        # (reference pgen batching, gwas/assoc.go:354-419)
+                        mm = np.memmap(
+                            conv, dtype=np.int8, mode="w+",
+                            shape=(config.num_inds[pid], bs),
+                        )
+                        for v0 in range(0, bs, batch):
+                            v1 = min(v0 + batch, bs)
+                            mm[:, v0:v1] = r.read_range(v0, v1)
+                        mm.flush()
+                        del mm
                     self.geno_blocks.append(
                         fs.GenoFileStream(
                             conv, config.num_inds[pid], bs, replace_missing=False
@@ -381,6 +404,7 @@ class ProtocolInfo:
             restart_iter=cfg.restart_pca_from_iter,
             skip_power_iter=cfg.skip_power_iter,
             debug=cfg.debug,
+            iter_per_eigenval=cfg.iter_per_eigenval,
         )
         if pid > 0:
             from . import utilities as U
@@ -416,9 +440,14 @@ class ProtocolInfo:
             # replaceMissing=true, gwas/assoc.go:283 via filestream.go:383)
             for b in self.geno_blocks:
                 b.replace_missing = True
+            streams = self.geno_blocks
+            if cfg.blocks_for_assoc_test:
+                # association restricted to the listed block indices
+                # (reference BlocksForAssocTest debugging aid)
+                streams = [self.geno_blocks[i] for i in cfg.blocks_for_assoc_test]
             blocks = [
                 fs.LazyBlock(b)
-                for b in self.geno_blocks
+                for b in streams
                 if b.num_cols_to_keep() > 0
             ]
 

@@ -162,6 +162,60 @@ def inner_prod(cps, X: CipherVector, Y: CipherVector) -> C.Ciphertext:
     return inner_sum_all(cps, cmult(cps, X, Y))
 
 
+def cmult_one_to_many(cps, x: C.Ciphertext, ys) -> list:
+    """x * y_j with rescale for a list of same-level/scale ciphertexts:
+    one batched relinearization kernel + one batched rescale."""
+    prods = cps.ctx.mul_relin_many(x, ys, cps.rlk)
+    nmod = prods[0].nmod
+    import jax.numpy as jnp
+
+    stack = jnp.concatenate(
+        [jnp.stack([p.c0 for p in prods]), jnp.stack([p.c1 for p in prods])]
+    )
+    res = cps.ctx.rescale2_many(stack, nmod - 1)
+    Bn = len(prods)
+    ctx = cps.ctx
+    out_scale = [
+        p.scale / ctx.basis.primes[nmod - 1] / ctx.basis.primes[nmod - 2]
+        for p in prods
+    ]
+    return [
+        C.Ciphertext(res[j], res[Bn + j], nmod - 2, out_scale[j])
+        for j in range(Bn)
+    ]
+
+
+def rotate_and_add_many(cps, cts, size: int) -> list:
+    """rotate_and_add over a list of ciphertexts with SHARED shifts: each
+    log-step rotates the whole stack through one grouped keyswitch."""
+    import jax.numpy as jnp
+
+    from ..ops.rns import _sel as _rsel
+    from ..ops.rns import add_mod as _add_mod
+
+    ctx = cps.ctx
+    cts = [cps.clamp_rot(ct) for ct in cts]
+    nmod = min(ct.nmod for ct in cts)
+    cts = [ctx.drop_to(ct, nmod) for ct in cts]
+    C0 = jnp.stack([ct.c0 for ct in cts])[None]  # [1, B, nmod, N]
+    C1 = jnp.stack([ct.c1 for ct in cts])[None]
+    q = _rsel(ctx.basis, tuple(range(nmod)))["q"]
+    rot = 1
+    while rot < size:
+        g = ctx.galois_for_rotation(rot % cps.slots)
+        ik0, ik1 = cps.stacked_keys_inv([g], nmod)
+        r0, r1 = ctx.rotate_grouped_b(
+            C0, C1, ctx.perms_for([g]), ik0, ik1, nmod
+        )
+        C0 = _add_mod(C0, r0, q)
+        C1 = _add_mod(C1, r1, q)
+        rot *= 2
+    return [
+        C.Ciphertext(C0[0, b], C1[0, b], nmod, ct.scale)
+        for b, ct in enumerate(cts)
+    ]
+
+
 def sq_sum(cps, X: CipherVector) -> C.Ciphertext:
     return inner_prod(cps, X, X)
 

@@ -501,6 +501,51 @@ class CkksContext:
         )
         return add_mod(d0, k0, t["q"]), add_mod(d1, k1, t["q"])
 
+    def mul_relin_many(self, a: Ciphertext, bs, rlk: KSwitchKey):
+        """a * b_j for a list of ciphertexts b_j sharing a's level and a
+        common scale: ONE fused kernel (products + batched relinearization
+        under the shared key) instead of len(bs) separate keyswitches."""
+        nmod = min([a.nmod] + [b.nmod for b in bs])
+        aa = self.drop_to(a, nmod)
+        bsd = [self.drop_to(b, nmod) for b in bs]
+        bc0 = jnp.stack([b.c0 for b in bsd])
+        bc1 = jnp.stack([b.c1 for b in bsd])
+        c0, c1 = self._mul_relin_many_core(
+            aa.c0, aa.c1, bc0, bc1, rlk.d0, rlk.d1, nmod
+        )
+        return [
+            Ciphertext(c0[j], c1[j], nmod, aa.scale * b.scale)
+            for j, b in enumerate(bsd)
+        ]
+
+    @_ctxjit(7)
+    def _mul_relin_many_core(self, ac0, ac1, bc0s, bc1s, kd0, kd1, nmod: int):
+        t = _sel(self.basis, tuple(range(nmod)))
+        q, mu = t["q"], t["mu"]
+        d0 = mul_mod_barrett(ac0[None], bc0s, q, mu)
+        d1 = add_mod(
+            mul_mod_barrett(ac0[None], bc1s, q, mu),
+            mul_mod_barrett(ac1[None], bc0s, q, mu),
+            q,
+        )
+        d2 = mul_mod_barrett(ac1[None], bc1s, q, mu)
+        ext = self.decompose_ntt_b(d2, nmod)  # [B, nmod, next, N]
+        ridx = jnp.asarray(tuple(range(nmod)) + (self.sp_row,))
+        k0 = kd0[:nmod][:, ridx][None]
+        k1 = kd1[:nmod][:, ridx][None]
+        ext_rows = tuple(range(nmod)) + (self.sp_row,)
+        te = _sel(self.basis, ext_rows)
+        qe, me = te["q"][None, None], te["mu"][None, None]
+        p0 = jnp.sum(
+            mul_mod_barrett(ext, k0, qe, me), axis=1, dtype=jnp.uint32
+        )
+        p1 = jnp.sum(
+            mul_mod_barrett(ext, k1, qe, me), axis=1, dtype=jnp.uint32
+        )
+        k0s = self._moddown_b(self._reduce_u32(p0, ext_rows), nmod)
+        k1s = self._moddown_b(self._reduce_u32(p1, ext_rows), nmod)
+        return add_mod(d0, k0s, q), add_mod(d1, k1s, q)
+
     # ------------------------------------------------------------ rescale
 
     def rescale_one(self, ct: Ciphertext) -> Ciphertext:

@@ -986,22 +986,53 @@ def dc_matmul_aat_b(
     rank-1 updates instead, gwas/qrfact.go:201)."""
     slots = cps.slots
     pid = mpc.pid
+    ctx = cps.ctx
     n_ct = ((nrows_all[pid] - 1) // slots) + 1 if pid > 0 else 1
+    batched = inner_fn is None  # default ct-ct inner product, batched over j
     # accumulate with first-term adoption (a czeros init would impose the
     # preset scale on products whose scale has drifted from rescaling)
     out = [None] * ncol_out
     for c in range(len(A)):
-        ctq_loc = []
-        for j in range(ncol_out):
-            prod = inner_fn(cps, A[c], Bmat, j)
-            ctq_loc.append(B.inner_sum_all(cps, prod))
+        if batched:
+            # one fused relin-mult + one grouped rotation ladder covers all
+            # ncol_out inner products (the per-j loop cost ~40 s/column in
+            # per-dispatch tunnel latency on the PN14 DQR)
+            prods = None
+            for t in range(n_ct):
+                row = B.cmult_one_to_many(
+                    cps, A[c][t], [Bmat[j][t] for j in range(ncol_out)]
+                )
+                if prods is None:
+                    prods = row
+                else:
+                    prods = [
+                        ctx.add(p, r) for p, r in zip(prods, row)
+                    ]
+            ctq_loc = B.rotate_and_add_many(cps, prods, slots)
+        else:
+            ctq_loc = []
+            for j in range(ncol_out):
+                prod = inner_fn(cps, A[c], Bmat, j)
+                ctq_loc.append(B.inner_sum_all(cps, prod))
         ctq = mhe.aggregate_cvec(mpc.net, cps, ctq_loc)
         ctq = mhe.bootstrap_vec(mpc.net, cps, ctq, -1, target_nmod=bs_target)
-        for j in range(ncol_out):
-            cc = B.cmult_scalar(cps, A[c], ctq[j])
-            out[j] = cc if out[j] is None else B.cadd(
-                cps, _match_vec(cps, out[j], cc), cc
-            )
+        if batched:
+            for t in range(n_ct):
+                col = B.cmult_one_to_many(cps, A[c][t], ctq)
+                for j in range(ncol_out):
+                    if out[j] is None:
+                        out[j] = [None] * n_ct
+                    prev = out[j][t]
+                    out[j][t] = col[j] if prev is None else ctx.add(
+                        ctx.drop_to(prev, min(prev.nmod, col[j].nmod)),
+                        ctx.drop_to(col[j], min(prev.nmod, col[j].nmod)),
+                    )
+        else:
+            for j in range(ncol_out):
+                cc = B.cmult_scalar(cps, A[c], ctq[j])
+                out[j] = cc if out[j] is None else B.cadd(
+                    cps, _match_vec(cps, out[j], cc), cc
+                )
     return out
 
 

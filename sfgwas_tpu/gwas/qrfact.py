@@ -144,13 +144,10 @@ def net_dqr_enc(
             )[0]
             v_list[col] = uvec
 
-            # A <- (I - 2 v v^T / N) A
-            def fn(cp, a, Bm, j):
-                return B.cmult(cp, a, Bm[j])
-
+            # A <- (I - 2 v v^T / N) A (batched ct-ct inner products)
             with prof.span("qr_dcmm"):
                 vvta = dc_matmul_aat_b(
-                    cps, mpc, [uvec], A, nrows_all, ncol_curr, fn,
+                    cps, mpc, [uvec], A, nrows_all, ncol_curr, None,
                     bs_target=qr_band,
                 )
             newA = []

@@ -1,0 +1,95 @@
+"""Bounded-RSS proof for the SNP-axis QC windowing (SURVEY §5 long-axis
+scaling; reference windows QC at 10M SNPs/batch, gwas/qualcontrol.go:92-126).
+
+Runs the precomputed-stats QC over 3 forced windows and asserts the peak
+RSS growth is proportional to ONE window, not the whole SNP axis.  Slow
+(minutes): gate behind SFGWAS_SLOW=1; BASELINE.md records the measured
+numbers."""
+
+import os
+import resource
+import threading
+
+import numpy as np
+import pytest
+
+from sfgwas_tpu.gwas import qc as qc_mod
+from sfgwas_tpu.gwas.params import FilterParams
+from sfgwas_tpu.mpc.mpc import MPC
+from sfgwas_tpu.mpc.prg import Random
+from sfgwas_tpu.ops import ring as R
+from sfgwas_tpu.parallel.transport import LocalCluster, Network
+
+NP_ = 3
+M = 150_000
+WINDOW = 50_000
+
+
+def _rss() -> int:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SFGWAS_SLOW"),
+    reason="several minutes of host SS; set SFGWAS_SLOW=1",
+)
+def test_qc_windowed_rss(monkeypatch):
+    monkeypatch.setattr(qc_mod, "MAX_WINDOW", WINDOW)
+    cluster = LocalCluster(NP_)
+    fp = FilterParams(0.1, 28.374, 0.1, 0.05, 0.2, 0.5)
+    outs = [None] * NP_
+    errs = [None] * NP_
+
+    def work(pid):
+        try:
+            rand = Random(pid, NP_, None)
+            net = Network(cluster.transport(pid), pid, NP_, 1, rand)
+            ring = R.field_for_size(256)
+            mpc = MPC(net, ring, 60, 30, True, 1_000_000)
+            rng = np.random.default_rng(pid)
+            if pid > 0:
+                n = 1000
+                miss = rng.integers(0, 5, M).astype(np.int64)
+                ac1 = rng.integers(0, 2 * n, M)
+                ac = np.stack([2 * (n - miss) - ac1, ac1])
+                g2 = np.minimum(ac1 // 2, n - miss)
+                g1 = ac1 - 2 * g2
+                gc = np.stack([n - miss - g1 - g2, g1, g2])
+            else:
+                n = 0
+                miss = np.zeros(M, np.int64)
+                ac = np.zeros((2, M), np.int64)
+                gc = np.zeros((3, M), np.int64)
+            outs[pid] = qc_mod.snp_filter_with_precomputed_stats(
+                mpc, ac, gc, miss, n, 2000, fp
+            )
+        except BaseException as e:  # noqa
+            import traceback
+
+            traceback.print_exc()
+            errs[pid] = e
+
+    rss0 = _rss()
+    ts = [threading.Thread(target=work, args=(p,)) for p in range(NP_)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=3600)
+    for e in errs:
+        if e:
+            raise e
+    peak_delta = _rss() - rss0
+    assert outs[1] is not None and len(outs[1]) == M
+
+    # measured (round 3): the boolean comparison ladder holds ~270
+    # [WINDOW, 32]-int32-equivalent arrays per party at its high-water mark
+    # (10.25 GB for WINDOW=100k x 3 parties, incl. malloc retention).
+    # Budget 350 such arrays per party: scales with WINDOW, not M -- an
+    # unwindowed ladder over all M SNPs blows through it at 3x the width.
+    window_bytes = WINDOW * 32 * 4
+    budget = 350 * NP_ * window_bytes
+    print(
+        f"peak RSS delta {peak_delta/1e9:.2f} GB over {M//WINDOW} windows "
+        f"(budget {budget/1e9:.2f} GB)"
+    )
+    assert peak_delta < budget, (peak_delta, budget)

@@ -663,7 +663,19 @@ def collective_bootstrap_many(
     rng = cps.enc_rng
     tgt = min(target_nmod or ctx.nq, ctx.nq)
     tgt = max(tgt, max(ct.nmod for ct in cts))
-    tgt_rows = tuple(range(tgt))
+    # Scale reset (the reference's Recode(ct, params.Scale()) semantics,
+    # mpc/mhe.go:327-329): refresh two primes ABOVE the requested level,
+    # then retarget every ciphertext to exactly the preset scale with a
+    # scale-targeted constant multiply + one fused pair-rescale.  This makes
+    # bootstrap a hard scale-reset point, so same-level chains downstream
+    # add with EXACTLY equal scales (the r3 phase-3 crash was per-column
+    # pair-product drift accumulating at the modulus floor).  When the
+    # requested level is already the top of the chain there is no headroom;
+    # those call sites have levels to burn, so _align_scales' exact path
+    # covers them instead.
+    reset = tgt + 2 <= ctx.nq
+    lift_tgt = tgt + 2 if reset else tgt
+    tgt_rows = tuple(range(lift_tgt))
     t_f = _sel(ctx.basis, tgt_rows)
     out = [None] * len(cts)
     import math
@@ -732,8 +744,8 @@ def collective_bootstrap_many(
                 lifted = rns.crt_lift_centered(
                     mu_np,
                     params.q_primes[:nmod],
-                    params.q_primes[:tgt],
-                ).reshape(tgt, B, ctx.n)
+                    params.q_primes[:lift_tgt],
+                ).reshape(lift_tgt, B, ctx.n)
             mu_full = jnp.swapaxes(
                 rns.ntt_b(jnp.asarray(lifted), ctx.basis, tgt_rows), 0, 1
             )
@@ -751,8 +763,38 @@ def collective_bootstrap_many(
             agg = net.hub_broadcast(agg if net.pid == net.hub_pid else None)
             c0 = finalize(agg)
 
-        for b, i in enumerate(idxs):
-            out[i] = C.Ciphertext(c0[b], crp[b], tgt, cts[i].scale)
+        if reset:
+            # exact recode: per-ct constant c_b = round(Delta*pair/s_b)
+            # folds the drifted input scale into the pair the rescale
+            # divides out; output scale is the preset Delta EXACTLY
+            # (relative value error ~2^-50 from the constant rounding)
+            pair = float(params.q_primes[lift_tgt - 1]) * float(
+                params.q_primes[lift_tgt - 2]
+            )
+            consts = np.empty((B, lift_tgt, 1), np.uint32)
+            for b, i in enumerate(idxs):
+                # drift-sized inputs only: a scale far off the preset here
+                # is a level-accounting bug upstream, not drift
+                assert 0.25 < params.scale / cts[i].scale < 4.0, (
+                    params.scale,
+                    cts[i].scale,
+                )
+                cval = int(round(params.scale * pair / cts[i].scale))
+                for r in range(lift_tgt):
+                    consts[b, r, 0] = cval % params.q_primes[r]
+            cj = jnp.asarray(consts)
+            qf = t_f["q"][None]
+            muf = t_f["mu"][None]
+            c0m = mul_mod_barrett(c0, cj, qf, muf)
+            c1m = mul_mod_barrett(crp, cj, qf, muf)
+            res = ctx.rescale2_many(
+                jnp.concatenate([c0m, c1m]), lift_tgt - 1
+            )
+            for b, i in enumerate(idxs):
+                out[i] = C.Ciphertext(res[b], res[B + b], tgt, params.scale)
+        else:
+            for b, i in enumerate(idxs):
+                out[i] = C.Ciphertext(c0[b], crp[b], tgt, cts[i].scale)
     return out
 
 

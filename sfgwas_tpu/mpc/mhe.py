@@ -300,7 +300,7 @@ def collective_init(
         for g in z["gelems"]:
             rot_keys[int(g)] = C.KSwitchKey(z[f"rk0_{g}"], z[f"rk1_{g}"])
         log(f"pid{pid} keys restored from {key_cache}")
-        return CryptoParams(
+        cps = CryptoParams(
             ctx,
             C.SecretKey(jnp.asarray(z["sk"])),
             C.PublicKey(jnp.asarray(z["pk0"]), jnp.asarray(z["pk1"])),
@@ -309,6 +309,13 @@ def collective_init(
             np.random.default_rng(),
             keys_from_cache=True,
         )
+        # migrate the legacy single-zip cache to the mmap'd directory format
+        # and drop the zip (~2.3 GB of dead weight per party otherwise)
+        _save_key_dir(kdir, cps.sk, cps.pk, cps.rlk, rot_keys)
+        z.close()
+        os.remove(key_cache)
+        log(f"pid{pid} legacy key cache migrated to {kdir}")
+        return cps
 
     # CRP stream: seeded from the globally shared PRG (mpc/mhe.go:49-59)
     with net.rand.using(-1) as g:
@@ -348,31 +355,35 @@ def collective_init(
     log(f"pid{pid} collective init done")
 
     if key_cache:
-        # directory format: small keys in meta.npz, rotation keys as two
-        # raw stacked .npy files (sequential write; the old single .npz
-        # funneled ~2 GB through zipfile, ~3 min per party)
-        os.makedirs(kdir, exist_ok=True)
-        order = sorted(rot_keys)
-        np.save(
-            os.path.join(kdir, "rk0.npy"),
-            np.stack([np.asarray(rot_keys[g].d0) for g in order]),
-        )
-        np.save(
-            os.path.join(kdir, "rk1.npy"),
-            np.stack([np.asarray(rot_keys[g].d1) for g in order]),
-        )
-        np.savez(
-            os.path.join(kdir, "meta.npz"),
-            sk=np.asarray(sk.s),
-            pk0=np.asarray(pk.p0),
-            pk1=np.asarray(pk.p1),
-            rlk0=np.asarray(rlk.d0),
-            rlk1=np.asarray(rlk.d1),
-            gelems=np.asarray(order, np.int64),
-        )
+        _save_key_dir(kdir, sk, pk, rlk, rot_keys)
         log(f"pid{pid} keys cached to {kdir}")
 
     return CryptoParams(ctx, sk, pk, rlk, rot_keys, enc_rng)
+
+
+def _save_key_dir(kdir, sk, pk, rlk, rot_keys):
+    """Directory key-cache format: small keys in meta.npz, rotation keys as
+    two raw stacked .npy files (sequential write; the old single .npz
+    funneled ~2 GB through zipfile, ~3 min per party)."""
+    os.makedirs(kdir, exist_ok=True)
+    order = sorted(rot_keys)
+    np.save(
+        os.path.join(kdir, "rk0.npy"),
+        np.stack([np.asarray(rot_keys[g].d0) for g in order]),
+    )
+    np.save(
+        os.path.join(kdir, "rk1.npy"),
+        np.stack([np.asarray(rot_keys[g].d1) for g in order]),
+    )
+    np.savez(
+        os.path.join(kdir, "meta.npz"),
+        sk=np.asarray(sk.s),
+        pk0=np.asarray(pk.p0),
+        pk1=np.asarray(pk.p1),
+        rlk0=np.asarray(rlk.d0),
+        rlk1=np.asarray(rlk.d1),
+        gelems=np.asarray(order, np.int64),
+    )
 
 
 def _aggregate_mod(net: Network, ctx: C.CkksContext, x, rows):

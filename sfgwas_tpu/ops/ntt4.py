@@ -13,10 +13,13 @@ products, which map onto the MXU systolic array:
             bit-reversed output order, so ntt4 is an exact drop-in.
 
 Exact arithmetic on the MXU: operands (< 2^25) are decomposed into four
-7-bit digit planes packed as int8; one batched int8 x int8 -> int32
-dot_general computes all 16 digit-pair products at once (contraction
-length <= 128 keeps partial sums < 2^21); planes with equal digit-weight
-are summed and Barrett-folded with 2^(7s) mod q constants.
+7-bit digit planes packed as int8.  The 16 digit-pair products are grouped
+by total digit weight s = da+dx into 2*4-1 = 7 matmuls whose contraction
+axis concatenates the contributing digit planes, so the per-weight partial
+sums come straight out of int8 x int8 -> int32 dot_generals (contraction
+<= 4*128 keeps partial sums < 2^23) and are Barrett-folded with
+2^(7s) mod q constants.  No [D*out, D*m] intermediate is materialized,
+which keeps the batched transform (ntt4_b) linear in batch size.
 
 This is the TPU-native equivalent of the reference's hot NTT/Montgomery
 loops (gwas/matmult.go:247-324 via lattigo's ring package).
@@ -58,7 +61,6 @@ class Ntt4Plan:
 
     def __init__(self, basis: rns.RnsBasis, rows: Tuple[int, ...]):
         n = basis.n
-        logn = basis.logn
         N1 = min(128, n)
         N2 = n // N1
         self.n, self.N1, self.N2 = n, N1, N2
@@ -101,12 +103,25 @@ class Ntt4Plan:
                 pw(iw, np.outer(j2v, j1v)) * pw(ipsi, j1v)[None, :] % q
             ).astype(np.uint32)
 
-        # digit planes, packed for ONE batched matmul per step:
-        #   F-planes [L, D*rows, cols];  shift-fold constants [2D-1, L]
-        self.F2d = jnp.asarray(_digits_np(F2).transpose(1, 0, 2, 3).reshape(L, _DIG * N2, N2))
-        self.F1d = jnp.asarray(_digits_np(F1).transpose(1, 0, 2, 3).reshape(L, _DIG * N1, N1))
-        self.iF2d = jnp.asarray(_digits_np(iF2).transpose(1, 0, 2, 3).reshape(L, _DIG * N2, N2))
-        self.iF1d = jnp.asarray(_digits_np(iF1).transpose(1, 0, 2, 3).reshape(L, _DIG * N1, N1))
+        # per-weight concatenated digit planes: for weight s the contraction
+        # axis stacks M's digit da over the valid (da, dx=s-da) pairs, in
+        # ascending-da order (matched by the x-plane concat in _modmatmul)
+        def weight_planes(M):
+            d = _digits_np(M)  # [D, L, out, c]
+            return [
+                jnp.asarray(
+                    np.concatenate(
+                        [d[da] for da in range(_DIG) if 0 <= s - da < _DIG],
+                        axis=2,
+                    )
+                )
+                for s in range(2 * _DIG - 1)
+            ]
+
+        self.F2w = weight_planes(F2)
+        self.F1w = weight_planes(F1)
+        self.iF2w = weight_planes(iF2)
+        self.iF1w = weight_planes(iF1)
         q64 = np.array(primes, np.uint64)
         self.T = jnp.asarray(T)
         self.Ts = jnp.asarray(rns.shoup(T, q64[:, None, None]))
@@ -124,14 +139,16 @@ class Ntt4Plan:
         )[:, None, None]
 
         # output permutation matching rns.ntt's order (evaluation multiset is
-        # identical; recover the index map empirically and verify)
-        t = rns._sel(basis, rows)
+        # identical; recover the index map empirically and verify).  Plans can
+        # be built lazily while an outer jit is tracing: ensure_compile_time_eval
+        # makes these concrete-input computations execute eagerly even then.
         rng = np.random.default_rng(12345)
         x = np.stack(
             [rng.integers(0, primes[i], n, dtype=np.int64) for i in range(L)]
         ).astype(np.uint32)
-        ref = np.asarray(rns.ntt(jnp.asarray(x), basis, rows))
-        raw = np.asarray(self._raw_fwd(jnp.asarray(x)))
+        with jax.ensure_compile_time_eval():
+            ref = np.asarray(rns._ntt_butterfly(jnp.asarray(x), basis, rows))
+            raw = np.asarray(self._raw_fwd(jnp.asarray(x)[:, None, :])[:, 0, :])
         pi = np.zeros(n, np.int64)
         # match on two residue rows jointly: single-row matching collides at
         # n^2/(2q) ~ a few entries for n=2^14, q~2^25 (birthday bound)
@@ -145,30 +162,24 @@ class Ntt4Plan:
         self.ipi = jnp.asarray(np.argsort(pi))
 
     # -- exact modular matmul: rows of digit-planed M times x (both < 2^25)
-    def _modmatmul(self, Md, x, contract):
-        """Md: [L, D*out, c]; x: [L, c, m] uint32 -> [L, out, m] uint32."""
-        L = x.shape[0]
-        out = Md.shape[1] // _DIG
-        m = x.shape[2]
-        xd = _digits_jnp(x).transpose(1, 2, 0, 3).reshape(L, contract, _DIG * m)
-        # [L, D*out, c] x [L, c, D*m] -> [L, D*out, D*m] int32 on the MXU
-        P = jax.lax.dot_general(
-            Md,
-            xd,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )
-        P = P.reshape(L, _DIG, out, _DIG, m)
+    def _modmatmul(self, Mw, x):
+        """Mw: per-weight [L, out, pairs*c]; x: [L, c, m] uint32 ->
+        [L, out, m] uint32.  One int8 dot_general per digit weight."""
+        xd = _digits_jnp(x)  # [D, L, c, m] int8
         acc = None
         for s in range(2 * _DIG - 1):
-            Ps = None
-            for da in range(_DIG):
-                dx = s - da
-                if 0 <= dx < _DIG:
-                    term = P[:, da, :, dx, :]
-                    Ps = term if Ps is None else Ps + term
+            xcat = jnp.concatenate(
+                [xd[s - da] for da in range(_DIG) if 0 <= s - da < _DIG],
+                axis=1,
+            )
+            P = jax.lax.dot_general(
+                Mw[s],
+                xcat,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # [L, out, m] < 4*c*2^14 < 2^23
             r = rns.mul_mod_barrett(
-                Ps.astype(jnp.uint32), self.shifts[s][:, None, None], self.q, self.mu
+                P.astype(jnp.uint32), self.shifts[s][:, None, None], self.q, self.mu
             )
             acc = r if acc is None else acc + r
         # acc < 7q < 2^28: conditional subtracts
@@ -178,24 +189,48 @@ class Ntt4Plan:
         return acc
 
     def _raw_fwd(self, x):
-        L = x.shape[0]
-        x2d = x.reshape(L, self.N2, self.N1)
-        A = self._modmatmul(self.F2d, x2d, self.N2)
-        B = rns.mul_mod_shoup(A, self.T, self.Ts, self.q)
-        # contract over j1: transpose to [L, N1, N2] then matmul F1 rows
-        X2 = self._modmatmul(self.F1d, B.transpose(0, 2, 1), self.N1)
-        # X2[k1? ...] -- F1 rows index k1, columns j1; result [L, N1=k1, N2]
-        return X2.reshape(L, self.n)
+        """x: [L, B, n] -> raw-order transform [L, B, n]."""
+        L, Bn = x.shape[0], x.shape[1]
+        N1, N2 = self.N1, self.N2
+        x2d = (
+            x.reshape(L, Bn, N2, N1)
+            .transpose(0, 2, 1, 3)
+            .reshape(L, N2, Bn * N1)
+        )
+        A = self._modmatmul(self.F2w, x2d)  # [L, N2(k2), B*N1]
+        Bt = rns.mul_mod_shoup(
+            A.reshape(L, N2, Bn, N1),
+            self.T[:, :, None, :],
+            self.Ts[:, :, None, :],
+            self.q[..., None],
+        )
+        # contract over j1: arrange [L, N1(j1), B*N2]
+        Bt = Bt.transpose(0, 3, 2, 1).reshape(L, N1, Bn * N2)
+        X2 = self._modmatmul(self.F1w, Bt)  # [L, N1(k1), B*N2]
+        return (
+            X2.reshape(L, N1, Bn, N2).transpose(0, 2, 1, 3).reshape(L, Bn, self.n)
+        )
 
     def _raw_inv(self, y):
-        L = y.shape[0]
-        y2d = y.reshape(L, self.N1, self.N2)  # [k1, k2]
-        B = self._modmatmul(self.iF1d, y2d, self.N1)  # over k1 -> [j1, k2]
+        """y: [L, B, n] raw order -> coefficients [L, B, n]."""
+        L, Bn = y.shape[0], y.shape[1]
+        N1, N2 = self.N1, self.N2
+        y2d = (
+            y.reshape(L, Bn, N1, N2)  # [k1, k2]
+            .transpose(0, 2, 1, 3)
+            .reshape(L, N1, Bn * N2)
+        )
+        B = self._modmatmul(self.iF1w, y2d)  # over k1 -> [L, N1(j1), B*N2]
         B = rns.mul_mod_shoup(
-            B.transpose(0, 2, 1), self.iT, self.iTs, self.q
-        )  # [k2, j1]
-        x2d = self._modmatmul(self.iF2d, B, self.N2)  # over k2 -> [j2, j1]
-        return x2d.reshape(L, self.n)
+            B.reshape(L, N1, Bn, N2).transpose(0, 3, 2, 1),  # [L, N2(k2), B, N1]
+            self.iT[:, :, None, :],
+            self.iTs[:, :, None, :],
+            self.q[..., None],
+        ).reshape(L, N2, Bn * N1)
+        x2d = self._modmatmul(self.iF2w, B)  # over k2 -> [L, N2(j2), B*N1]
+        return (
+            x2d.reshape(L, N2, Bn, N1).transpose(0, 2, 1, 3).reshape(L, Bn, self.n)
+        )
 
 
 _PLANS = {}
@@ -204,21 +239,39 @@ _PLANS = {}
 def get_plan(basis: rns.RnsBasis, rows: Tuple[int, ...]) -> Ntt4Plan:
     key = (id(basis), rows)
     if key not in _PLANS:
-        _PLANS[key] = Ntt4Plan(basis, rows)
+        # plans may be built lazily while an outer jit is tracing; keep every
+        # device constant concrete (a tracer captured here would poison all
+        # later uses of the cached plan)
+        with jax.ensure_compile_time_eval():
+            _PLANS[key] = Ntt4Plan(basis, rows)
     return _PLANS[key]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _ntt4_jit(x, plan: Ntt4Plan, inverse: bool):
     if not inverse:
-        return plan._raw_fwd(x)[:, plan.pi]
-    return plan._raw_inv(x[:, plan.ipi])
+        return plan._raw_fwd(x[:, None, :])[:, 0, plan.pi]
+    return plan._raw_inv(x[:, None, plan.ipi])[:, 0, :]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _ntt4_b_jit(x, plan: Ntt4Plan, inverse: bool):
+    if not inverse:
+        return plan._raw_fwd(x)[..., plan.pi]
+    return plan._raw_inv(x[..., plan.ipi])
 
 
 def ntt4(x, basis: rns.RnsBasis, rows, inverse: bool = False):
-    """Drop-in replacement for rns.ntt built on MXU matmuls.  The plan is
-    built eagerly (host precompute + an empirical order-matching pass), so
-    first use of a (basis, rows) pair must happen OUTSIDE any jit trace —
-    call get_plan() up front when embedding in a larger jitted function."""
+    """Drop-in replacement for rns.ntt built on MXU matmuls.  The plan build
+    (host precompute + an empirical order-matching pass) runs eagerly on
+    first use of a (basis, rows) pair; concrete-array eager execution is
+    legal inside an outer trace, but pre-warming via get_plan() avoids
+    re-tracing churn when embedding in a larger jitted function."""
     plan = get_plan(basis, rows)
     return _ntt4_jit(x, plan, inverse)
+
+
+def ntt4_b(x, basis: rns.RnsBasis, rows, inverse: bool = False):
+    """Batched four-step NTT: x [L, B, N] (rns.ntt_b layout)."""
+    plan = get_plan(basis, rows)
+    return _ntt4_b_jit(x, plan, inverse)

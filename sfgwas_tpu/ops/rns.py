@@ -20,7 +20,8 @@ the VPU and tile onto the MXU.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+import os
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -278,11 +279,49 @@ def _sel(basis: "RnsBasis", rows):
     return basis._cache[key]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+# SFGWAS_NTT4: "1"/"0" forces the four-step MXU NTT (ops/ntt4.py) on/off;
+# unset = auto (on for accelerator backends, off for CPU, where the
+# butterfly's shuffle passes beat int8-matmul emulation).  Resolved lazily
+# so importing this module never initializes a jax backend.
+_NTT4: Optional[bool] = None
+
+
+def _use_ntt4(n: int) -> bool:
+    global _NTT4
+    if _NTT4 is None:
+        env = os.environ.get("SFGWAS_NTT4")
+        if env is not None:
+            _NTT4 = env not in ("0", "")
+        else:
+            _NTT4 = jax.default_backend() != "cpu"
+    return _NTT4 and n >= 256
+
+
 def ntt(x, basis: RnsBasis, rows, inverse: bool = False):
     """Negacyclic NTT over the given (static tuple of) prime rows.
     x: [len(rows), N] uint32; standard order in -> bit-reversed out
-    (forward); inverse undoes it."""
+    (forward); inverse undoes it.  Dispatches to the four-step MXU
+    formulation (ops/ntt4.py, bit-exact drop-in) on accelerator backends."""
+    if _use_ntt4(basis.n):
+        from . import ntt4 as _n4
+
+        return _n4.ntt4(x, basis, tuple(rows), inverse)
+    return _ntt_butterfly(x, basis, rows, inverse)
+
+
+def ntt_b(x, basis: RnsBasis, rows, inverse: bool = False):
+    """Batched negacyclic NTT: x [L, B, N] with len(rows) == L; the batch
+    axis shares each row's twiddles.  Same layout conventions as ntt()."""
+    if _use_ntt4(basis.n):
+        from . import ntt4 as _n4
+
+        return _n4.ntt4_b(x, basis, tuple(rows), inverse)
+    return _ntt_b_butterfly(x, basis, rows, inverse)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _ntt_butterfly(x, basis: RnsBasis, rows, inverse: bool = False):
+    """Butterfly negacyclic NTT (see ntt() for layout conventions)."""
     n = basis.n
     t = _sel(basis, rows)
     L = x.shape[0]
@@ -320,9 +359,8 @@ def ntt(x, basis: RnsBasis, rows, inverse: bool = False):
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def ntt_b(x, basis: RnsBasis, rows, inverse: bool = False):
-    """Batched negacyclic NTT: x [L, B, N] with len(rows) == L; the batch
-    axis shares each row's twiddles.  Same layout conventions as ntt()."""
+def _ntt_b_butterfly(x, basis: RnsBasis, rows, inverse: bool = False):
+    """Batched butterfly NTT (see ntt_b() for layout conventions)."""
     n = basis.n
     t = _sel(basis, rows)
     L, Bdim = x.shape[0], x.shape[1]

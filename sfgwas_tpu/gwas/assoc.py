@@ -30,7 +30,7 @@ from ..mpc.mpc import MPC
 from . import filestream as fs
 from . import matmult as MM
 from ..utils.log import log
-from .qrfact import net_dqr_enc
+from .qrfact import net_qr
 
 
 def compute_combined_q(
@@ -40,6 +40,7 @@ def compute_combined_q(
     Qpc: Optional[B.CipherMatrix],
     nrows_all: List[int],
     cov_all_ones: bool,
+    qr_method: str = "cholqr2",
 ) -> Tuple[B.CipherMatrix, int]:
     """computeCombinedQV2 (gwas/assoc.go:69-126): QR of
     [all-ones | covariates | PCs], first column then replaced with the
@@ -63,7 +64,7 @@ def compute_combined_q(
         ncols = int(ncov) + (0 if cov_all_ones else 1) + (len(Qpc) if Qpc else 0)
         comb = [None] * ncols
 
-    Q = net_dqr_enc(cps, mpc, comb, nrows_all)
+    Q = net_qr(cps, mpc, comb, nrows_all, method=qr_method)
 
     if pid > 0:
         # replace first column with normalized all-ones (gwas/assoc.go:104-120)
@@ -89,6 +90,7 @@ def get_association_stats(
     cov_all_ones: bool = False,
     cache_prefix: Optional[str] = None,
     use_cached_combined_q: bool = False,
+    qr_method: str = "cholqr2",
 ):
     """Linear association statistics (gwas/assoc.go:443-884).  Returns
     (stats CipherVector, filter) at data parties; (None, None) at party 0."""
@@ -144,7 +146,9 @@ def get_association_stats(
         else:
             Q = None
     else:
-        Q, ncols = compute_combined_q(mpc, cps, cov, Qpc, nrows_all, cov_all_ones)
+        Q, ncols = compute_combined_q(
+            mpc, cps, cov, Qpc, nrows_all, cov_all_ones, qr_method=qr_method
+        )
         if pid > 0 and qcomb_cache:
             U.save_cipher_matrix(cps, Q, qcomb_cache)
 

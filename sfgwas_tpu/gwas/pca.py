@@ -43,6 +43,7 @@ def distributed_pca(
     skip_power_iter: bool = False,
     debug: bool = False,
     iter_per_eigenval: int = 5,
+    qr_method: str = "cholqr2",
 ) -> B.CipherMatrix:
     ring = mpc.ring
     pid = mpc.pid
@@ -147,7 +148,7 @@ def distributed_pca(
             Q[b] = B.cmult(cps, Q[b], x_stdinv)
         Q = mhe.bootstrap_mat(mpc.net, cps, Q, -1)
 
-    from .qrfact import net_dqr_enc
+    from .qrfact import net_qr
     from . import utilities as U
 
     # restart / skip support (restart_pca_from_iter, skip_power_iter,
@@ -172,7 +173,7 @@ def distributed_pca(
             if it == num_power_iters - 1:
                 Q = Qloc
             else:
-                Q = net_dqr_enc(cps, mpc, Qloc, nrows_all)
+                Q = net_qr(cps, mpc, Qloc, nrows_all, method=qr_method)
             it_start = it + 1
         else:
             restart_iter = 0
@@ -185,7 +186,7 @@ def distributed_pca(
             )
         else:
             Qloc = [None] * kp
-        Q = net_dqr_enc(cps, mpc, Qloc, nrows_all)
+        Q = net_qr(cps, mpc, Qloc, nrows_all, method=qr_method)
 
     # ---- power iterations (gwas/pca.go:339-371)
     for it in range(it_start, num_power_iters):
@@ -210,7 +211,7 @@ def distributed_pca(
         if it == num_power_iters - 1:
             Q = Qloc
         else:
-            Q = net_dqr_enc(cps, mpc, Qloc, nrows_all)
+            Q = net_qr(cps, mpc, Qloc, nrows_all, method=qr_method)
 
     # ---- Gram matrix Z = Q Q^T (gwas/pca.go:399-442)
     if pid > 0:

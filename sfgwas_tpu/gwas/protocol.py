@@ -405,6 +405,7 @@ class ProtocolInfo:
             skip_power_iter=cfg.skip_power_iter,
             debug=cfg.debug,
             iter_per_eigenval=cfg.iter_per_eigenval,
+            qr_method=cfg.qr_method,
         )
         if pid > 0:
             from . import utilities as U
@@ -465,6 +466,7 @@ class ProtocolInfo:
             cov_all_ones=cfg.cov_all_ones,
             cache_prefix=self.cache_path("assoc"),
             use_cached_combined_q=cfg.use_cached_combined_q,
+            qr_method=cfg.qr_method,
         )
 
         if pid > 0:
@@ -495,6 +497,7 @@ class ProtocolInfo:
             self.mpc, self.cps,
             self.cov if pid > 0 else gp.num_covs,
             qpc, nrows_all, cov_all_ones=cfg.cov_all_ones,
+            qr_method=cfg.qr_method,
         )
         if pid > 0:
             # orthonormal basis: Q columns are sqrt(N)-scaled

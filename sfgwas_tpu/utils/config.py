@@ -64,6 +64,14 @@ class Config:
     hwe_ub: float = 28.374
     snp_dist_thres: int = 100000
 
+    # Distributed QR method for the combined covariate basis and the PCA
+    # power-iteration orthonormalizations: "cholqr2" (default; Gram in HE +
+    # whole-factorization in SS, ~5 collective rounds per invocation),
+    # "cholqr3" (extra pass for very ill-conditioned inputs), or
+    # "householder" (the reference's per-column NetDQRenc structure,
+    # gwas/qrfact.go:47-316).
+    qr_method: str = "cholqr2"
+
     # PCA
     skip_pca: bool = False
     use_cached_pca: bool = False

@@ -163,3 +163,49 @@ def test_ss_to_he_to_ss_roundtrip():
                 v -= R.P256
             got.append(v / (1 << F))
         assert np.allclose(got, vals, atol=1e-3), got
+
+
+def test_net_cholqr_enc_orthonormalizes():
+    """CholeskyQR2 over the full HE+SS stack vs the numpy contract:
+    Q^T Q = N*I, triangular relation to A (leading-column spans preserved),
+    robust to disparate column scales."""
+    rng = np.random.default_rng(12)
+    nrows_all = [0, 12, 10]
+    ncols = 3
+    Afull = rng.normal(size=(22, ncols)) * np.array([1.0, 20.0, 0.1])
+    Afull[:, 0] = 1.0
+    parts = {1: Afull[:12], 2: Afull[12:]}
+
+    def fn(mpc):
+        cps = _init(mpc)
+        from sfgwas_tpu.gwas.qrfact import net_cholqr_enc
+
+        if mpc.pid > 0:
+            loc = parts[mpc.pid]
+            A = [B.encrypt_float_vector(cps, loc[:, j]) for j in range(ncols)]
+        else:
+            A = [None] * ncols
+        Q = net_cholqr_enc(cps, mpc, A, nrows_all, passes=2)
+        if mpc.pid == 0:
+            return None
+        blocks = []
+        for p in (1, 2):
+            rows = []
+            for c in range(ncols):
+                ct = Q[c][0] if mpc.pid == p else None
+                pt = mhe.collective_decrypt(mpc.net, cps, ct, p)
+                rows.append(cps.ctx.decode(pt)[: nrows_all[p]])
+            blocks.append(np.stack(rows, axis=1))
+        return np.concatenate(blocks, axis=0)
+
+    res = run_parties(3, fn)
+    n = sum(nrows_all)
+    for pid in (1, 2):
+        Q = res[pid] / np.sqrt(n)  # net QR convention: scaled by sqrt(N)
+        gram = Q.T @ Q
+        assert np.allclose(gram, np.eye(ncols), atol=2e-2), gram
+        # triangular relation: column j of Q lies in span(A[:, :j+1])
+        for j in range(ncols):
+            Aj = Afull[:, : j + 1]
+            proj = Aj @ np.linalg.lstsq(Aj, Q[:, j], rcond=None)[0]
+            assert np.linalg.norm(Q[:, j] - proj) < 2e-2, j

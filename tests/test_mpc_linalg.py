@@ -82,3 +82,23 @@ def test_matrix_inverse_sqrt_svd():
     res = run_parties(3, fn)
     B = tofloat_arr(res[1]).reshape(3, 3)
     assert np.allclose(B.T @ B, np.linalg.inv(A), atol=5e-2), B.T @ B
+
+
+def test_chol_whiten():
+    """chol_whiten: W upper-triangular with W^T G W = I, stable across
+    wildly different column scales (correlation rescale)."""
+    rng = np.random.default_rng(11)
+    Bm = rng.normal(size=(40, 4)) * np.array([1.0, 30.0, 0.05, 3.0])
+    Bm[:, 0] = 1.0  # ones column, like the combined covariate basis
+    G = Bm.T @ Bm / 40
+
+    def fn(mpc):
+        sh = make_shares(mpc, [fxp(v) for v in G.reshape(-1)]).reshape(4, 4, -1)
+        W = linalg.chol_whiten(mpc, sh)
+        return reveal_ints(mpc, W.reshape(16, -1))
+
+    res = run_parties(3, fn)
+    W = tofloat_arr(res[1]).reshape(4, 4)
+    assert np.allclose(W, np.triu(W), atol=1e-6), W
+    M = W.T @ G @ W
+    assert np.allclose(M, np.eye(4), atol=2e-2), M

@@ -76,6 +76,15 @@ def compute_combined_q(
             qfirst.append(B.mask_trunc(cps, ones[i], nk))
         Q[0] = qfirst
         Q, _ = B.flatten_levels(cps, Q)
+        # the fresh ones column rides a different rescale chain than the QR
+        # outputs: flatten aligns LEVELS but not SCALES, and that per-column
+        # scale split is exactly what accumulated into the r3 phase-3 crash
+        # at the modulus floor (ckks _align_scales, ynew projection).  The
+        # band-targeted refresh is a hard scale-reset point (mhe.go:327-329
+        # semantics), so every downstream product chain over Q's columns
+        # adds with EXACTLY equal scales.
+        qr_band = min(cps.ctx.nq, cps.rot_nmod + 2)
+        Q = mhe.bootstrap_mat_all(mpc.net, cps, Q, target_nmod=qr_band)
     return Q, ncols
 
 

@@ -988,6 +988,13 @@ def dc_matmul_aat_b(
     pid = mpc.pid
     ctx = cps.ctx
     n_ct = ((nrows_all[pid] - 1) // slots) + 1 if pid > 0 else 1
+    if bs_target is None:
+        # a refresh AT the top of the chain has no headroom for the exact
+        # scale reset (mhe.collective_bootstrap_many); two primes below the
+        # top it does, and nothing in this chain needs them -- so the
+        # aggregated cross terms come back at EXACTLY the preset scale and
+        # the per-column outer products accumulate with equal scales.
+        bs_target = ctx.nq - 2
     batched = inner_fn is None  # default ct-ct inner product, batched over j
     # accumulate with first-term adoption (a czeros init would impose the
     # preset scale on products whose scale has drifted from rescaling)

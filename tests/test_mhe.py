@@ -209,3 +209,32 @@ def test_net_cholqr_enc_orthonormalizes():
             Aj = Afull[:, : j + 1]
             proj = Aj @ np.linalg.lstsq(Aj, Q[:, j], rcond=None)[0]
             assert np.linalg.norm(Q[:, j] - proj) < 2e-2, j
+
+
+def test_combined_q_uniform_scale_and_level():
+    """REGRESSION (r3 phase-3 crash): after the ones-column replacement,
+    every ciphertext across every column of the combined covariate basis
+    must sit at the SAME (level, scale) -- the fresh ones column used to
+    ride a different rescale chain, and the per-column scale split
+    accumulated into a modulus-floor assertion in the ynew projection
+    (crypto/ckks.py _align_scales via gwas/matmult.py dc_matmul_aat_b)."""
+    rng = np.random.default_rng(21)
+    nrows_all = [0, 12, 10]
+    covs = {
+        1: rng.normal(size=(12, 2)) * np.array([50.0, 0.3]),
+        2: rng.normal(size=(10, 2)) * np.array([50.0, 0.3]),
+    }
+
+    def fn(mpc):
+        cps = _init(mpc)
+        from sfgwas_tpu.gwas.assoc import compute_combined_q
+
+        cov = covs[mpc.pid] if mpc.pid > 0 else 2
+        Q, _ = compute_combined_q(mpc, cps, cov, None, nrows_all, False)
+        if mpc.pid == 0:
+            return None
+        return [(ct.nmod, ct.scale) for col in Q for ct in col]
+
+    res = run_parties(3, fn)
+    for pid in (1, 2):
+        assert len(set(res[pid])) == 1, res[pid]

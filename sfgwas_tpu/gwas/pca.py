@@ -216,20 +216,35 @@ def distributed_pca(
     # ---- Gram matrix Z = Q Q^T (gwas/pca.go:399-442)
     if pid > 0:
         nct = ((kp * kp) - 1) // slots + 1
-        zloc = B.czeros(cps, nct)
+        # first-term adoption (NOT a czeros init): the masked inner products
+        # carry the rescale chain's drifted scale, and forcing them onto the
+        # preset scale would burn the band down to the modulus floor
+        zloc = [None] * nct
         for i in range(kp):
-            for j in range(i, kp):
-                iprod = B.inner_prod(cps, Q[i], Q[j])
+            # one batched relin-mult + one grouped rotation ladder for all
+            # pairs (i, j >= i)
+            prods = None
+            for t in range(len(Q[i])):
+                row = B.cmult_one_to_many(
+                    cps, Q[i][t], [Q[j][t] for j in range(i, kp)]
+                )
+                prods = row if prods is None else [
+                    cps.ctx.add(a_, b_) for a_, b_ in zip(prods, row)
+                ]
+            sums = B.rotate_and_add_many(cps, prods, slots)
+            for jj, iprod in enumerate(sums):
+                j = i + jj
                 for idx in ([i * kp + j, j * kp + i] if i != j else [i * kp + j]):
                     ctid, slotid = idx // slots, idx % slots
                     # iprod holds the value in every slot; mask selects one
                     # with 1/n folded in (no level left for a CMultConst:
                     # inner_prod already ran down the rotation band)
                     masked = B.mask(cps, iprod, slotid, False, value=inv_n)
-                    zloc[ctid] = cps.ctx.add(
-                        cps.ctx.drop_to(zloc[ctid], min(zloc[ctid].nmod, masked.nmod)),
-                        cps.ctx.drop_to(masked, min(zloc[ctid].nmod, masked.nmod)),
+                    zloc[ctid] = (
+                        masked if zloc[ctid] is None
+                        else cps.ctx.add(zloc[ctid], masked)
                     )
+        assert all(ct is not None for ct in zloc)
         z = mhe.aggregate_cvec(mpc.net, cps, zloc)
         z = mhe.bootstrap_vec(mpc.net, cps, z, -1)
     else:

@@ -282,7 +282,11 @@ def net_cholqr_enc(
             with prof.span("cholqr_gram"):
                 A = mhe.bootstrap_mat_all(mpc.net, cps, A, target_nmod=qr_band)
                 nct_g = (ncols * ncols - 1) // slots + 1
-                zloc = B.czeros(cps, nct_g)
+                # accumulate with first-term adoption: a czeros init would
+                # impose the preset scale on the masked products (whose
+                # scale has drifted through the rescale chain) and the
+                # forced exact-align would burn the band down to the floor
+                zloc = [None] * nct_g
                 for i in range(ncols):
                     prods = None
                     for t in range(len(A[i])):
@@ -301,11 +305,14 @@ def net_cholqr_enc(
                         for idx in {i * ncols + j, j * ncols + i}:
                             ctid, slotid = divmod(idx, slots)
                             masked = B.mask(cps, s, slotid, False, value=inv_n)
-                            nm = min(zloc[ctid].nmod, masked.nmod)
-                            zloc[ctid] = cps.ctx.add(
-                                cps.ctx.drop_to(zloc[ctid], nm),
-                                cps.ctx.drop_to(masked, nm),
+                            zloc[ctid] = (
+                                masked
+                                if zloc[ctid] is None
+                                else cps.ctx.add(zloc[ctid], masked)
                             )
+                # every packed ct receives at least one mask (nct_g covers
+                # exactly the k*k index range)
+                assert all(ct is not None for ct in zloc)
                 z = mhe.aggregate_cvec(mpc.net, cps, zloc)
                 z = mhe.bootstrap_vec(mpc.net, cps, z, -1)
         else:

@@ -163,6 +163,38 @@ def _cmat_to_ss(
     r = len(cm)
     b = mpc.data_bits + SIGMA_STAT
 
+    # Level-headroom guard.  The masked plaintext (data + statistical mask +
+    # smudging) must fit q_prod(nmod); band-clamped relin chains (e.g. the
+    # assoc sxx variance chain) can deliver ciphertexts near the modulus
+    # floor where it does not.  The reference never hits this (lattigo keys
+    # span the full chain); here the conversion restores its own
+    # precondition with ONE batched collective refresh to the shallowest
+    # sufficient level >= the matmult band (mpc/mhe.go:222-261 semantics:
+    # bootstrap is the level/scale reset point).
+    def _need_bits(scale: float) -> int:
+        return int(math.log2(scale / float(1 << f))) + b + 10 + 1
+
+    lens = [len(row) for row in cm]
+    flat = [ct for row in cm for ct in row]
+    if any(
+        ctx.params.q_prod(ct.nmod).bit_length() <= _need_bits(ct.scale)
+        for ct in flat
+    ):
+        tgt = max(ctx.params.mm_nmod, max(ct.nmod for ct in flat))
+        while (
+            tgt < ctx.nq
+            and ctx.params.q_prod(tgt).bit_length()
+            <= _need_bits(ctx.params.scale) + 1
+        ):
+            tgt += 1
+        flat = mhe.collective_bootstrap_many(
+            mpc.net, cps, flat, -1, target_nmod=tgt
+        )
+        cm, ofs = [], 0
+        for L in lens:
+            cm.append(flat[ofs : ofs + L])
+            ofs += L
+
     out_rows = []
     for i in range(r):
         shares_row = []

@@ -165,6 +165,35 @@ def test_ss_to_he_to_ss_roundtrip():
         assert np.allclose(got, vals, atol=1e-3), got
 
 
+def test_cmat_to_ss_low_level_self_heals():
+    """HE->SS at a ciphertext level below the masked-decode headroom must
+    collectively refresh first instead of tripping the q_prod assert (the
+    r4 flagship crash: assoc varx arrived at nmod=3 < the 121-bit need,
+    gwas/assoc.py compute_std_inv -> mpc/ss_he.py)."""
+    vals = [2.5, -1.25, 4.0, 0.5]
+    enc = [int(round(v * (1 << F))) % R.P256 for v in vals]
+
+    def fn(mpc):
+        cps = _init(mpc)
+        cm = ss_he.ss_to_cmat(mpc, cps, make_shares(mpc, enc)[None])
+        if mpc.pid > 0:
+            # force the ct below the conversion floor (25-bit primes:
+            # nmod=4 -> 100 bits <= need 121)
+            cm = [[cps.ctx.drop_to(ct, 4) for ct in row] for row in cm]
+        back = ss_he.cmat_to_ss(mpc, cps, cm, -1, len(vals))
+        return reveal_ints(mpc, back[0])
+
+    res = run_parties(3, fn)
+    for pid in (1, 2):
+        got = []
+        for v in res[pid]:
+            v = int(v)
+            if v > R.P256 // 2:
+                v -= R.P256
+            got.append(v / (1 << F))
+        assert np.allclose(got, vals, atol=1e-3), got
+
+
 def test_net_cholqr_enc_orthonormalizes():
     """CholeskyQR2 over the full HE+SS stack vs the numpy contract:
     Q^T Q = N*I, triangular relation to A (leading-column spans preserved),

@@ -18,7 +18,7 @@ from ..mpc import mhe
 from ..mpc.mpc import MPC
 from ..mpc.prg import Random
 from ..ops import ring as R
-from ..parallel.transport import LocalCluster, Network, TCPTransport
+from ..parallel.transport import Network
 from ..utils.config import Config
 from ..utils.log import log
 from . import assoc as assoc_mod
@@ -35,28 +35,32 @@ class ProtocolInfo:
         nparty = config.nparty
 
         if transport is None:
-            try:
-                from ..parallel.native_transport import NativeTCPTransport
+            from ..parallel.transport import make_tcp_transport
 
-                transport = NativeTCPTransport(
-                    pid, nparty, config.servers, 0, config.binding_ipaddr
-                )
-            except Exception:
-                transport = TCPTransport(
-                    pid, nparty, config.servers, 0, config.binding_ipaddr
-                )
+            # the reference opens one TCP connection per (pair, MPC thread)
+            # (mpc/netconnect.go:191-216); the striped transport keeps that
+            # (pair x channel) mesh and uses it to move each large frame in
+            # parallel stripes
+            transport = make_tcp_transport(
+                pid,
+                nparty,
+                config.servers,
+                max(1, config.mpc_num_threads),
+                config.binding_ipaddr,
+            )
         rand = Random(pid, nparty, config.shared_keys_path or None)
         self.net = Network(transport, pid, nparty, config.hub_party_id, rand)
 
-        if config.mpc_num_threads > 1 or config.local_num_threads > 1:
+        if config.local_num_threads > 1:
             # the reference fans SS/HE work over thread pools
-            # (mpc/mpc.go:2639-2791); here the same parallelism lives in
-            # vectorized SS tensors and batched device kernels, so the
-            # thread counts are accepted for config compatibility but do
-            # not spawn workers
+            # (mpc/mpc.go:2639-2791); here that parallelism lives in
+            # vectorized SS tensors and batched device kernels, so
+            # local_num_threads is accepted for config compatibility but
+            # does not spawn workers (mpc_num_threads sets the transport
+            # channel count above)
             log(
-                f"pid{pid} note: mpc_num_threads/local_num_threads are "
-                "subsumed by the vectorized SS/HE engines"
+                f"pid{pid} note: local_num_threads is subsumed by the "
+                "vectorized SS/HE engines"
             )
         ring = R.field_for_size(config.mpc_field_size)
         self.mpc = MPC(

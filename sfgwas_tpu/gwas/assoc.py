@@ -100,6 +100,7 @@ def get_association_stats(
     cache_prefix: Optional[str] = None,
     use_cached_combined_q: bool = False,
     qr_method: str = "cholqr2",
+    num_blocks_parallel: int = 1,
 ):
     """Linear association statistics (gwas/assoc.go:443-884).  Returns
     (stats CipherVector, filter) at data parties; (None, None) at party 0."""
@@ -185,15 +186,52 @@ def get_association_stats(
         concat = [q for q in Q]
         concat.append(ynew0)
 
+        # host-encode/device-MAC pipeline over the blocks (the reference's
+        # worker pool, gwas/assoc.go:354-419, assoc_num_blocks_parallel):
+        # one prefetch thread loads + FFT-folds block b+k (pure host work,
+        # k bounded by num_blocks_parallel) while the device multiplies
+        # block b.  Cache hits are known up front and never prefetched.
+        from concurrent.futures import ThreadPoolExecutor
+
+        nb = len(geno_blocks)
+        nahead = max(1, int(num_blocks_parallel))
+        cache_files = [
+            f"{cache_prefix}_assoc_{b}.npz" if cache_prefix else None
+            for b in range(nb)
+        ]
+        hit = [
+            cf is not None and ct_cache_ok and _os.path.exists(cf)
+            for cf in cache_files
+        ]
+
+        def host_prep(b):
+            G = fs.load_block(geno_blocks[b])
+            pre = MM.preprocess_matrix_host(cps, G)
+            dsum = G.astype(np.float64).sum(axis=0)
+            dsq = (G.astype(np.float64) ** 2).sum(axis=0)
+            return pre, dsum, dsq, G.shape[1]
+
+        pool = ThreadPoolExecutor(1, thread_name_prefix="assoc-prefetch")
+        futures = {}
+        next_pf = 0
+
+        def schedule(upto_exclusive_depth):
+            nonlocal next_pf
+            while len(futures) < upto_exclusive_depth and next_pf < nb:
+                if not hit[next_pf]:
+                    futures[next_pf] = pool.submit(host_prep, next_pf)
+                next_pf += 1
+
+        schedule(nahead)
         sxx_blocks, sxy_blocks, filters = [], [], []
         for b, blk in enumerate(geno_blocks):
-            log(f"pid{pid} assoc block {b + 1}/{len(geno_blocks)}")
+            log(f"pid{pid} assoc block {b + 1}/{nb}")
             # per-block RESULT cache (ciphertexts + dosage sums, the
             # reference's GenoBlockMult caches, gwas/assoc.go:317-334);
             # diagonal encodings are NOT cached here -- each assoc block is
             # multiplied once, and its encodings are ~GBs at biobank scale
-            cache_file = f"{cache_prefix}_assoc_{b}.npz" if cache_prefix else None
-            if cache_file and ct_cache_ok and _os.path.exists(cache_file):
+            cache_file = cache_files[b]
+            if hit[b]:
                 # party-local decision is safe here: a cache hit replaces
                 # only local compute; the aggregate/bootstrap message
                 # pattern below is identical either way
@@ -202,12 +240,12 @@ def get_association_stats(
                 dsum, dsq = z["dsum"], z["dsq"]
                 msnp = blk.shape[1]
             else:
-                G = fs.load_block(blk)  # streamed: one block resident
-                msnp = G.shape[1]
-                out, dsum, dsq = MM.mat_mult_stream(
-                    cps, [c for c in concat], G, compute_sums=True
+                pre, dsum, dsq, msnp = futures.pop(b).result()
+                schedule(nahead)
+                out, _, _ = MM.mat_mult_stream(
+                    cps, [c for c in concat], None, host_pre=pre
                 )
-                del G
+                del pre
                 if cache_file:
                     U.save_cipher_matrix(
                         cps, out, cache_file, extra={"dsum": dsum, "dsq": dsq}
@@ -244,6 +282,7 @@ def get_association_stats(
             fl = np.zeros(nct * slots, dtype=bool)
             fl[:msnp] = True
             filters.append(fl)
+        pool.shutdown(wait=False)
 
         sxy = [ct for blk in sxy_blocks for ct in blk]
         varx = [ct for blk in sxx_blocks for ct in blk]

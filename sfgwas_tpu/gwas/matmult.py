@@ -126,24 +126,18 @@ def _mod_ntt_b(hi, lo, basis, rows):
     return ntt_b(v, basis, rows)
 
 
-def _encode_diag_batch(cps: CryptoParams, vecs: np.ndarray, nmod: int):
-    """Batched encode of float diagonal vectors [K, slots] -> NTT polys
-    [K, nmod, N] uint32, DEVICE-resident.
-
-    Split host/device: the canonical-embedding FFT runs on the host (f64
-    precision XLA lacks), the per-prime modular reduction + NTT on the
-    device; only int32 coefficient pairs cross host->device (the tunnel's
-    fast direction -- device->host readback is ~100x slower, so encoded
-    polys never come back)."""
-    ctx = cps.ctx
-    enc = ctx.encoder
-    n = ctx.n
+def _encode_diag_host(cps: CryptoParams, vecs: np.ndarray):
+    """Host half of the diagonal encode: canonical-embedding FFT + twiddle
+    fold -> integer coefficients as (hi, lo, kc) chunks.  Pure numpy/torch:
+    safe to run on a prefetch thread while the device MACs the previous
+    block (no jax calls, thread-local scratch)."""
+    enc = cps.ctx.encoder
+    n = cps.ctx.n
     K = vecs.shape[0]
-    scale = ctx.params.scale
-    rows = tuple(range(nmod))
+    scale = cps.ctx.params.scale
     step = 1024
     A = _scratch(("encA", n), (step, n), np.float64)
-    outs = []
+    chunks = []
     use_torch = _torch is not None
     if use_torch:
         tw_re = _torch.from_numpy(enc.psi_inv_re_over_n * scale)
@@ -172,22 +166,39 @@ def _encode_diag_batch(cps: CryptoParams, vecs: np.ndarray, nmod: int):
             hi_f = np.floor(coeffs * (1.0 / (1 << 31)))
             lo = (coeffs - hi_f * float(1 << 31)).astype(np.uint32)
             hi = hi_f.astype(np.int32)
+        chunks.append((hi.copy() if kc < step else hi, lo, kc))
+    return chunks
+
+
+def _encode_diag_device(cps: CryptoParams, chunks, nmod: int):
+    """Device half: per-prime modular reduction + NTT of the host chunks."""
+    ctx = cps.ctx
+    rows = tuple(range(nmod))
+    outs = []
+    for hi, lo, kc in chunks:
         poly = _mod_ntt_b(
             jnp.asarray(hi), jnp.asarray(lo), ctx.basis, rows
         )  # [nmod, step, n]
-        outs.append(poly[:, :kc] if kc < step else poly)
+        outs.append(poly[:, :kc] if kc < poly.shape[1] else poly)
     return jnp.concatenate(outs, axis=1).transpose(1, 0, 2)  # [K, nmod, n]
 
 
-def encode_block_diagonals(
-    cps: CryptoParams, block: np.ndarray, nmod: int
-) -> DiagBlock:
-    """Extract + encode all nonzero generalized diagonals of one block
-    (gwas/matmult.go:636-709 semantics): diag for shift s is
-    d_s[j] = X[(j+s) mod S, j], pre-rotated right by d*giant.
+def _encode_diag_batch(cps: CryptoParams, vecs: np.ndarray, nmod: int):
+    """Batched encode of float diagonal vectors [K, slots] -> NTT polys
+    [K, nmod, N] uint32, DEVICE-resident.
 
-    Vectorized: entry (i, j) lands on diagonal s = (i-j) mod S at final slot
-    (j + (s//d)*d) mod S; one scatter builds every pre-rotated diagonal."""
+    Split host/device: the canonical-embedding FFT runs on the host (f64
+    precision XLA lacks), the per-prime modular reduction + NTT on the
+    device; only int32 coefficient pairs cross host->device (the tunnel's
+    fast direction -- device->host readback is ~100x slower, so encoded
+    polys never come back)."""
+    return _encode_diag_device(cps, _encode_diag_host(cps, vecs), nmod)
+
+
+def encode_block_diagonals_host(cps: CryptoParams, block: np.ndarray):
+    """Host stage of encode_block_diagonals: diagonal scatter + FFT fold.
+    Returns (giants, babies, d, host_chunks); finish_block_diagonals turns
+    it into a DiagBlock on the device."""
     S = cps.slots
     d = int(math.ceil(math.sqrt(S)))
     r, c = block.shape
@@ -207,8 +218,26 @@ def encode_block_diagonals(
     vecs = _scratch(("diagvecs", S, len(shifts)), (len(shifts), S), np.float64)
     vecs[:] = 0.0
     vecs[rank[s_idx], col] = block  # (s, col) pairs are unique per (i, j)
-    polys = _encode_diag_batch(cps, vecs, nmod)
-    return DiagBlock(shifts // d, shifts % d, polys, d)
+    return shifts // d, shifts % d, d, _encode_diag_host(cps, vecs)
+
+
+def finish_block_diagonals(cps: CryptoParams, host_blk, nmod: int) -> DiagBlock:
+    giants, babies, d, chunks = host_blk
+    return DiagBlock(giants, babies, _encode_diag_device(cps, chunks, nmod), d)
+
+
+def encode_block_diagonals(
+    cps: CryptoParams, block: np.ndarray, nmod: int
+) -> DiagBlock:
+    """Extract + encode all nonzero generalized diagonals of one block
+    (gwas/matmult.go:636-709 semantics): diag for shift s is
+    d_s[j] = X[(j+s) mod S, j], pre-rotated right by d*giant.
+
+    Vectorized: entry (i, j) lands on diagonal s = (i-j) mod S at final slot
+    (j + (s//d)*d) mod S; one scatter builds every pre-rotated diagonal."""
+    return finish_block_diagonals(
+        cps, encode_block_diagonals_host(cps, block), nmod
+    )
 
 
 def preprocess_matrix(
@@ -940,6 +969,31 @@ def mat_mult_sharded(
     return mat_mult_cached(cps, A, cache, devices=devices)
 
 
+def preprocess_matrix_host(cps: CryptoParams, mat: np.ndarray):
+    """Host stage of preprocess_matrix for every block of `mat`: pure
+    numpy/torch (FFT fold to integer coefficient chunks), so a prefetch
+    thread can encode block b+1 while the device MACs block b (the
+    reference's worker pool over assoc blocks, gwas/assoc.go:354-419)."""
+    S = cps.slots
+    n, m = mat.shape
+    return [
+        [
+            encode_block_diagonals_host(cps, mat[bi : bi + S, bj : bj + S])
+            for bj in range(0, m, S)
+        ]
+        for bi in range(0, n, S)
+    ]
+
+
+def finish_preprocess_matrix(cps: CryptoParams, host_rows, nmod: int):
+    """Device stage: modular reduce + NTT of a preprocess_matrix_host
+    result."""
+    return [
+        [finish_block_diagonals(cps, hb, nmod) for hb in row]
+        for row in host_rows
+    ]
+
+
 def mat_mult_stream(
     cps: CryptoParams,
     A: B.CipherMatrix,
@@ -947,14 +1001,23 @@ def mat_mult_stream(
     compute_sums: bool = False,
     square: bool = False,
     cache_file: Optional[str] = None,
+    host_pre=None,
 ):
     """MatMult4Stream (gwas/matmult.go:1238-1505): multiply the CipherMatrix
     with a genotype block, optionally squaring the block elementwise and
-    returning plaintext dosage sums/square-sums per column."""
-    mat = np.asarray(geno)
-    if square:
-        mat = mat * mat
-    cache = preprocess_matrix(cps, mat, mm_nmod(cps), cache_file)
+    returning plaintext dosage sums/square-sums per column.  host_pre (a
+    preprocess_matrix_host result for this block) skips the host encode --
+    the prefetched-pipeline path."""
+    if host_pre is not None:
+        assert not compute_sums and not square, (
+            "prefetched path: sums/squaring happen on the prefetch thread"
+        )
+        cache = finish_preprocess_matrix(cps, host_pre, mm_nmod(cps))
+    else:
+        mat = np.asarray(geno)
+        if square:
+            mat = mat * mat
+        cache = preprocess_matrix(cps, mat, mm_nmod(cps), cache_file)
     out = mat_mult_cached(cps, A, cache)
     # streamed blocks are multiplied once; free the plan's device buffers now
     release_plan(cache)

@@ -227,6 +227,7 @@ class ProtocolInfo:
                 gp.num_inds[self.pid] if self.pid > 0 else 0,
                 sum(gp.num_inds),
                 fp,
+                cache_prefix=self.cache_path("qc"),
             )
             # the revealed filter is public: every party (incl. the dealer)
             # caches it so a use_cached_qc resume stays in lockstep
@@ -471,6 +472,7 @@ class ProtocolInfo:
             cache_prefix=self.cache_path("assoc"),
             use_cached_combined_q=cfg.use_cached_combined_q,
             qr_method=cfg.qr_method,
+            num_blocks_parallel=cfg.assoc_num_blocks_parallel,
         )
 
         if pid > 0:

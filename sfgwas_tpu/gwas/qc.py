@@ -147,20 +147,56 @@ def individual_miss_het_filters(
     )
 
 
+def _window_cache_consensus(mpc: MPC, want: bool) -> bool:
+    """All parties must take the same cached/fresh branch for a window (a
+    fresh window runs MPC rounds; a cache hit runs none).  Hub ANDs the
+    data parties' readiness bits and broadcasts the decision -- the same
+    consensus round the combined-QR cache uses (gwas/assoc.go:501-514
+    reaches it implicitly through shared config flags)."""
+    nparty = mpc.net.nparty
+    if mpc.pid == mpc.hub_pid:
+        bits = [int(want)] + [
+            mpc.net.recv_int(p)
+            for p in range(1, nparty)
+            if p != mpc.hub_pid
+        ]
+        decision = int(all(bits))
+        for p in range(nparty):
+            if p != mpc.pid:
+                mpc.net.send_int(decision, p)
+        return bool(decision)
+    if mpc.pid > 0:
+        mpc.net.send_int(int(want), mpc.hub_pid)
+    return bool(mpc.net.recv_int(mpc.hub_pid))
+
+
 def snp_filter_with_precomputed_stats(
-    mpc: MPC, ac, gc, miss, num_ind: int, total_inds: int, fp: FilterParams
+    mpc: MPC, ac, gc, miss, num_ind: int, total_inds: int, fp: FilterParams,
+    cache_prefix: Optional[str] = None,
 ) -> np.ndarray:
     """Windowed miss -> MAF -> HWE ladder driven by the plink2 --geno-counts
     file (gwas/qualcontrol.go:86-337).  ac: [2, m], gc: [3, m], miss: [m]
-    (zeros at party 0)."""
+    (zeros at party 0).  cache_prefix enables per-window cache files
+    (gwas/qualcontrol.go:92-126): a biobank-scale scan that dies mid-way
+    resumes at the first uncached window instead of from zero."""
     m = len(miss)
     if m > MAX_WINDOW:
         out = np.zeros(m, dtype=bool)
         for s in range(0, m, MAX_WINDOW):
             e = min(s + MAX_WINDOW, m)
+            wf = f"{cache_prefix}_qcwin_{s}_{e}.npy" if cache_prefix else None
+            # party 0 holds no caches; it votes yes and follows the others
+            want = mpc.pid == 0 or (wf is not None and os.path.exists(wf))
+            if wf is not None and _window_cache_consensus(mpc, want):
+                out[s:e] = (
+                    np.load(wf) if mpc.pid > 0 else np.zeros(e - s, bool)
+                )
+                continue
             out[s:e] = snp_filter_with_precomputed_stats(
                 mpc, ac[:, s:e], gc[:, s:e], miss[s:e], num_ind, total_inds, fp
             )
+            if wf is not None and mpc.pid > 0:
+                np.save(wf, out[s:e])
         return out
 
     miss = np.asarray(miss, np.int64)

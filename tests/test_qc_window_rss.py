@@ -93,3 +93,71 @@ def test_qc_windowed_rss(monkeypatch):
         f"(budget {budget/1e9:.2f} GB)"
     )
     assert peak_delta < budget, (peak_delta, budget)
+
+
+def test_qc_per_window_caches(monkeypatch, tmp_path):
+    """Per-window cache files (gwas/qualcontrol.go:92-126): a rerun with
+    caches present must reproduce the mask WITHOUT touching the stats
+    (zeros passed on resume), proving mid-scan resume works window-wise."""
+    monkeypatch.setattr(qc_mod, "MAX_WINDOW", 40)
+    M_ = 100
+    fp = FilterParams(0.2, 28.374, 0.1, 1.0, 0.0, 1.0)
+
+    def run(use_zeros):
+        cluster = LocalCluster(NP_)
+        outs = [None] * NP_
+        errs = [None] * NP_
+
+        def work(pid):
+            try:
+                rand = Random(pid, NP_, None)
+                net = Network(cluster.transport(pid), pid, NP_, 1, rand)
+                ring = R.field_for_size(256)
+                mpc = MPC(net, ring, 60, 30, True, 1_000_000)
+                rng = np.random.default_rng(100 + pid)
+                if pid > 0 and not use_zeros:
+                    n = 50
+                    miss = rng.integers(0, 8, M_).astype(np.int64)
+                    # HWE-consistent genotype draws (binomial(2, p) per SNP)
+                    p = rng.uniform(0.1, 0.9, M_)
+                    gmat = rng.binomial(2, p[None, :], (n, M_))
+                    mmask = np.zeros((n, M_), bool)
+                    for j in range(M_):
+                        mmask[rng.choice(n, miss[j], replace=False), j] = True
+                    gmat = np.where(mmask, -1, gmat)
+                    gc = np.stack(
+                        [(gmat == k).sum(0).astype(np.int64) for k in range(3)]
+                    )
+                    ac1 = gc[1] + 2 * gc[2]
+                    ac = np.stack([2 * (n - miss) - ac1, ac1])
+                else:
+                    n = 50 if pid > 0 else 0
+                    miss = np.zeros(M_, np.int64)
+                    ac = np.zeros((2, M_), np.int64)
+                    gc = np.zeros((3, M_), np.int64)
+                outs[pid] = qc_mod.snp_filter_with_precomputed_stats(
+                    mpc, ac, gc, miss, n, 100, fp,
+                    cache_prefix=str(tmp_path / f"party{pid}"),
+                )
+            except BaseException as e:  # noqa
+                import traceback
+
+                traceback.print_exc()
+                errs[pid] = e
+
+        ts = [threading.Thread(target=work, args=(p,)) for p in range(NP_)]
+        [t.start() for t in ts]
+        [t.join(timeout=600) for t in ts]
+        for e in errs:
+            if e:
+                raise e
+        return outs
+
+    first = run(use_zeros=False)
+    caches = sorted(tmp_path.glob("party1_qcwin_*.npy"))
+    assert len(caches) == 3, caches  # 100 SNPs / 40-window
+    # resume: same masks reproduced from caches alone (zeroed stats would
+    # otherwise change the filter)
+    second = run(use_zeros=True)
+    assert (first[1] == second[1]).all()
+    assert first[1].sum() > 0

@@ -64,13 +64,40 @@ def mm_nmod(cps: CryptoParams) -> int:
 
 class DiagBlock:
     """Encoded diagonals of one slots x slots block of the plaintext matrix:
-    stacked NTT polys with (giant, baby) indices."""
+    stacked NTT polys with (giant, baby) indices.
 
-    def __init__(self, giants, babies, polys, d):
+    Two residency modes:
+    * device: `polys` holds the [K, nmod, N] uint32 NTT stack (fast reuse;
+      O(matrix) HBM);
+    * host-streaming: `chunks` holds the pre-NTT integer coefficients from
+      the host encode ([<=1024, N] hi/lo pairs); the matmult materializes
+      just the poly rows each scan group needs, bounded by a byte budget
+      (the reference's DiagCacheStream discipline, gwas/filestream.go:19-282
+      -- bounded working set over an arbitrarily long SNP axis)."""
+
+    def __init__(self, giants, babies, polys, d, chunks=None):
         self.giants = np.asarray(giants, np.int32)  # [K]
         self.babies = np.asarray(babies, np.int32)  # [K]
-        self.polys = polys  # [K, nmod, N] uint32 (NTT domain)
+        self.polys = polys  # [K, nmod, N] uint32 (NTT domain) or None
         self.d = d
+        self.chunks = chunks  # host [(hi, lo, kc)] or None
+
+    @property
+    def empty(self) -> bool:
+        return self.polys is None and self.chunks is None
+
+    @property
+    def num_diags(self) -> int:
+        return len(self.giants)
+
+    def materialize_rows(self, cps, nmod: int, a: int, b: int):
+        """Device polys for diagonal rows [a, b) (host-streaming mode)."""
+        assert self.chunks is not None
+        step = 1024
+        c0, c1 = a // step, (b + step - 1) // step
+        sub = self.chunks[c0:c1]
+        polys = _encode_diag_device(cps, sub, nmod)
+        return polys[a - c0 * step : b - c0 * step]
 
 
 try:  # multithreaded host FFT when torch is available (numpy's is 1-thread)
@@ -226,6 +253,13 @@ def finish_block_diagonals(cps: CryptoParams, host_blk, nmod: int) -> DiagBlock:
     return DiagBlock(giants, babies, _encode_diag_device(cps, chunks, nmod), d)
 
 
+def host_block_diagonals(cps: CryptoParams, block: np.ndarray) -> DiagBlock:
+    """Host-streaming DiagBlock: integer coefficient chunks only; the
+    matmult NTTs just the rows each scan group touches."""
+    giants, babies, d, chunks = encode_block_diagonals_host(cps, block)
+    return DiagBlock(giants, babies, None, d, chunks=chunks)
+
+
 def encode_block_diagonals(
     cps: CryptoParams, block: np.ndarray, nmod: int
 ) -> DiagBlock:
@@ -245,24 +279,30 @@ def preprocess_matrix(
     mat: np.ndarray,
     nmod: Optional[int] = None,
     cache_file: Optional[str] = None,
+    host_resident: bool = False,
 ) -> List[List[DiagBlock]]:
     """Encode diagonals for every (block-row, block-col) of the plaintext
     matrix (MatMult4StreamPreprocess, gwas/matmult.go:914-1041).  Cached to
-    an .npz when cache_file is given."""
+    an .npz when cache_file is given.  host_resident keeps the encodings as
+    pre-NTT host chunks (streamed to the device per scan group, bounded
+    HBM -- for matrices whose device polys would not fit)."""
     nmod = nmod or mm_nmod(cps)
     S = cps.slots
-    if cache_file and os.path.exists(cache_file):
+    if cache_file and os.path.exists(cache_file) and not host_resident:
         return _load_diag_cache(cache_file)
     n, m = mat.shape
     out = []
     for bi in range(0, n, S):
         row = []
         for bj in range(0, m, S):
+            blk = mat[bi : bi + S, bj : bj + S]
             row.append(
-                encode_block_diagonals(cps, mat[bi : bi + S, bj : bj + S], nmod)
+                host_block_diagonals(cps, blk)
+                if host_resident
+                else encode_block_diagonals(cps, blk, nmod)
             )
         out.append(row)
-    if cache_file and os.environ.get("SFGWAS_DIAG_DISK_CACHE"):
+    if cache_file and os.environ.get("SFGWAS_DIAG_DISK_CACHE") and not host_resident:
         # disk spill is opt-in: it exists for PCA restarts (the reference's
         # DiagCacheStream), but writing it costs a device->host pull of the
         # whole cache (~8 MB/s through the tunnel); within-run reuse is
@@ -433,6 +473,15 @@ class _MatmulPlan:
         self.d = cache[0][0].d
         nbr, nbc = len(cache), len(cache[0])
         self.nbr, self.nbc = nbr, nbc
+        self.n = cps.ctx.n
+        self._cps = cps
+        # host-streaming mode: any block kept as pre-NTT host chunks makes
+        # every scan group materialize lazily under a byte budget
+        self.stream = any(
+            cache[bi][bj].chunks is not None
+            for bi in range(nbr)
+            for bj in range(nbc)
+        )
         qmax = max(cps.params.q_primes[:nmod])
         # derived lazy-accumulation bound: products are < q each; a u32 sum
         # of t terms is exact iff t*(q-1) <= 2^32-1
@@ -445,7 +494,7 @@ class _MatmulPlan:
                 {
                     int(g)
                     for bi in range(nbr)
-                    if cache[bi][bj].polys is not None
+                    if not cache[bi][bj].empty
                     for g in cache[bi][bj].giants
                 }
             )
@@ -462,7 +511,7 @@ class _MatmulPlan:
                 {
                     int(b)
                     for bj in range(nbc)
-                    if cache[bi][bj].polys is not None
+                    if not cache[bi][bj].empty
                     for b in cache[bi][bj].babies
                 }
             )
@@ -471,7 +520,7 @@ class _MatmulPlan:
             row_chunks: List[dict] = []
             for bj in range(nbc):
                 blk = cache[bi][bj]
-                if blk.polys is None:
+                if blk.empty:
                     continue
                 K = len(blk.giants)
                 # group boundaries (giants are stored sorted)
@@ -490,7 +539,7 @@ class _MatmulPlan:
                 budget = max(
                     1,
                     MM_CHUNK_BYTES
-                    // (nmod * blk.polys.shape[-1] * 4 * row_batch),
+                    // (nmod * self.n * 4 * row_batch),
                 )
                 start = 0
                 for x in range(len(bounds) - 1):
@@ -532,15 +581,100 @@ class _MatmulPlan:
         # per-(block row, device) scan groups built lazily
         self._groups: Dict[Optional[tuple], list] = {}
 
+    # streamed-group budget: max bytes of materialized diagonal polys alive
+    # per scan group (the bounded working set of the streaming mode)
+    STREAM_GROUP_BYTES = int(
+        os.environ.get("SFGWAS_STREAM_GROUP_BYTES", 1 << 30)
+    )
+
+    def _build_group(self, cs, dv):
+        """One scan group from a chunk list: stacked index arrays plus the
+        diagonal polys the chunks touch.  In streaming mode the polys slot
+        is a zero-arg closure that NTTs just the needed row ranges from the
+        host chunks at consumption time (freed with the group)."""
+        # per-blk row range used by this group (chunks are ascending in k)
+        lo: Dict[int, int] = {}
+        hi: Dict[int, int] = {}
+        blks: List[DiagBlock] = []
+        for c in cs:
+            bid = id(c["blk"])
+            if bid not in lo:
+                lo[bid] = c["k0"]
+                hi[bid] = c["k1"]
+                blks.append(c["blk"])
+            else:
+                lo[bid] = min(lo[bid], c["k0"])
+                hi[bid] = max(hi[bid], c["k1"])
+        offs: Dict[int, int] = {}
+        tot = 0
+        for b in blks:
+            bid = id(b)
+            if self.stream:
+                offs[bid] = tot - lo[bid]  # idx = offs + k, k in [lo, hi)
+                tot += hi[bid] - lo[bid]
+            else:
+                offs[bid] = tot
+                tot += b.num_diags
+        nchunks = len(cs)
+        idxm = np.zeros((nchunks, self.k_pad), np.int32)
+        bidxm = np.zeros((nchunks, self.k_pad), np.int32)
+        seg2m = np.zeros((nchunks, self.k_pad), np.int32)
+        sgm = np.zeros((nchunks, self.nseg_pad), np.int32)
+        for r, c in enumerate(cs):
+            k0, k1 = c["k0"], c["k1"]
+            idxm[r, : k1 - k0] = offs[id(c["blk"])] + np.arange(
+                k0, k1, dtype=np.int32
+            )
+            bidxm[r] = c["bidx"]
+            seg2m[r] = c["seg2"]
+            sgm[r] = c["seg_gidx"]
+
+        if self.stream:
+            cps, nmod = self._cps, self.nmod
+            ranges = [(b, lo[id(b)], hi[id(b)]) for b in blks]
+
+            def polys():
+                parts = [
+                    b.materialize_rows(cps, nmod, a, z)
+                    if b.chunks is not None
+                    else jnp.asarray(b.polys)[a:z]
+                    for b, a, z in ranges
+                ]
+                return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+        elif len(blks) == 1:
+            polys = jnp.asarray(blks[0].polys)
+        else:
+            polys = jnp.concatenate([jnp.asarray(b.polys) for b in blks])
+        if dv is not None and not callable(polys):
+            polys = jax.device_put(polys, dv)
+        return {
+            "dev": dv,
+            "polys": polys,
+            "idx": jnp.asarray(idxm) if dv is None else jax.device_put(idxm, dv),
+            "bidx": jnp.asarray(bidxm)
+            if dv is None
+            else jax.device_put(bidxm, dv),
+            "seg2": jnp.asarray(seg2m)
+            if dv is None
+            else jax.device_put(seg2m, dv),
+            "sg": jnp.asarray(sgm) if dv is None else jax.device_put(sgm, dv),
+        }
+
     def scan_groups(self, devices) -> list:
         """Per block row, the chunk list regrouped for the scan kernel: one
         group per executing device (all chunks on the default device when
         devices is None), each with stacked index arrays and the row's
-        diagonal polys concatenated in block order."""
+        diagonal polys concatenated in block order.  Streaming plans split
+        each device's chunk run into sub-groups bounded by
+        STREAM_GROUP_BYTES of materialized polys."""
         key = tuple(id(d) for d in devices) if devices else None
         cached = self._groups.get(key)
         if cached is not None:
             return cached
+        budget_rows = max(
+            1, self.STREAM_GROUP_BYTES // (self.nmod * self.n * 4)
+        )
         groups = []
         for bi in range(self.nbr):
             row = []
@@ -554,58 +688,28 @@ class _MatmulPlan:
                 by_dev[dv].append(c)
             for dv in order:
                 cs = by_dev[dv]
-                # concatenate each distinct block's polys once, in first-use
-                # order; record offsets for the gather indices
-                offs: Dict[int, int] = {}
-                blks = []
-                tot = 0
+                if not self.stream:
+                    row.append(self._build_group(cs, dv))
+                    continue
+                # bounded sub-groups (consecutive chunks; a chunk never
+                # exceeds the budget because plan chunks are budget-split)
+                sub, rows_used = [], 0
                 for c in cs:
-                    bid = id(c["blk"])
-                    if bid not in offs:
-                        offs[bid] = tot
-                        tot += c["blk"].polys.shape[0]
-                        blks.append(c["blk"])
-                nchunks = len(cs)
-                idxm = np.zeros((nchunks, self.k_pad), np.int32)
-                bidxm = np.zeros((nchunks, self.k_pad), np.int32)
-                seg2m = np.zeros((nchunks, self.k_pad), np.int32)
-                sgm = np.zeros((nchunks, self.nseg_pad), np.int32)
-                for r, c in enumerate(cs):
-                    k0, k1 = c["k0"], c["k1"]
-                    idxm[r, : k1 - k0] = offs[id(c["blk"])] + np.arange(
-                        k0, k1, dtype=np.int32
-                    )
-                    bidxm[r] = c["bidx"]
-                    seg2m[r] = c["seg2"]
-                    sgm[r] = c["seg_gidx"]
-                if len(blks) == 1:
-                    polys = jnp.asarray(blks[0].polys)
-                else:
-                    polys = jnp.concatenate(
-                        [jnp.asarray(b.polys) for b in blks]
-                    )
-                if dv is not None:
-                    polys = jax.device_put(polys, dv)
-                row.append(
-                    {
-                        "dev": dv,
-                        "polys": polys,
-                        "idx": jnp.asarray(idxm)
-                        if dv is None
-                        else jax.device_put(idxm, dv),
-                        "bidx": jnp.asarray(bidxm)
-                        if dv is None
-                        else jax.device_put(bidxm, dv),
-                        "seg2": jnp.asarray(seg2m)
-                        if dv is None
-                        else jax.device_put(seg2m, dv),
-                        "sg": jnp.asarray(sgm)
-                        if dv is None
-                        else jax.device_put(sgm, dv),
-                    }
-                )
+                    kr = c["k1"] - c["k0"]
+                    if sub and rows_used + kr > budget_rows:
+                        row.append(self._build_group(sub, dv))
+                        sub, rows_used = [], 0
+                    sub.append(c)
+                    rows_used += kr
+                if sub:
+                    row.append(self._build_group(sub, dv))
             groups.append(row)
-        self._groups[key] = groups
+        if not self.stream:
+            # streamed groups hold closures; caching them is fine (small),
+            # but keep parity with the device path for simplicity
+            self._groups[key] = groups
+        else:
+            self._groups[key] = groups
         return groups
 
     def _chunk(self, blk: DiagBlock, bj: int, k0: int, k1: int, bpos) -> dict:
@@ -682,12 +786,12 @@ def mat_mult_cached(
     s = len(A)
     some = next(
         (cache[bi][bj] for bi in range(nbr) for bj in range(nbc)
-         if cache[bi][bj].polys is not None),
+         if not cache[bi][bj].empty),
         None,
     )
     if some is None:
         return [[ctx.zero_ct(mm_nmod(cps)) for _ in range(nbc)] for _ in range(s)]
-    nmod = some.polys.shape[1]
+    nmod = some.polys.shape[1] if some.polys is not None else mm_nmod(cps)
     rows = tuple(range(nmod))
     t = _sel(ctx.basis, rows)
     q, mu = t["q"], t["mu"]
@@ -769,11 +873,13 @@ def mat_mult_cached(
                 R1 = jnp.concatenate([R1, padr])
             del cts, C0s, C1s
             for g in groups[bi]:
+                gp = g["polys"]() if callable(g["polys"]) else g["polys"]
                 ACC0, ACC1 = _mac_scan_b(
-                    ACC0, ACC1, R0, R1, g["polys"], g["idx"], g["bidx"],
+                    ACC0, ACC1, R0, R1, gp, g["idx"], g["bidx"],
                     g["seg2"], g["sg"], q, mu, m32,
                     nseg=plan.nseg_pad, nsub=plan.nsub,
                 )
+                del gp  # streamed polys free before the next group builds
             del R0, R1
             if timing:
                 _tick(f"mac_scan_b[{bi}]", ACC0)
@@ -861,9 +967,10 @@ def mat_mult_cached(
                 R1 = jnp.concatenate([R1, padr])
             for g in groups[bi]:
                 dv = g["dev"]
+                gp = g["polys"]() if callable(g["polys"]) else g["polys"]
                 if dv is None:
                     ACC0, ACC1 = _mac_scan(
-                        ACC0, ACC1, R0, R1, g["polys"], g["idx"], g["bidx"],
+                        ACC0, ACC1, R0, R1, gp, g["idx"], g["bidx"],
                         g["seg2"], g["sg"], q, mu, m32,
                         nseg=plan.nseg_pad, nsub=plan.nsub,
                     )
@@ -879,13 +986,15 @@ def mat_mult_cached(
                     p0, p1 = _mac_scan(
                         z0, z1,
                         jax.device_put(R0, dv), jax.device_put(R1, dv),
-                        g["polys"], g["idx"], g["bidx"], g["seg2"], g["sg"],
+                        jax.device_put(gp, dv) if callable(g["polys"]) else gp,
+                        g["idx"], g["bidx"], g["seg2"], g["sg"],
                         jax.device_put(q, dv), jax.device_put(mu, dv),
                         jax.device_put(m32, dv),
                         nseg=plan.nseg_pad, nsub=plan.nsub,
                     )
                     ACC0 = add_mod(ACC0, jax.device_put(p0, devices[0]), q)
                     ACC1 = add_mod(ACC1, jax.device_put(p1, devices[0]), q)
+                del gp
             if timing:
                 _tick(f"mac_scan[{i},{bi}]", ACC0)
 

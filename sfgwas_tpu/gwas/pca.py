@@ -55,16 +55,50 @@ def distributed_pca(
     inv_sqrt_m = 1.0 / math.sqrt(nsnp)
     inv_sqrt_n = 1.0 / math.sqrt(tot_ind)
 
-    # Preprocess diagonal caches for X (ind x snp) and X^T (snp x ind)
+    # Preprocess diagonal caches for X (ind x snp) and X^T (snp x ind).
+    # Residency is sized to the device: when both caches' NTT polys would
+    # exceed the HBM budget (PN14 example scale: ~9 GB for 10k LD-pruned
+    # SNPs), they stay host-resident as pre-NTT chunks and stream to the
+    # device per scan group (the reference's DiagCacheStream discipline,
+    # gwas/filestream.go:19-282).
     x_cache = xt_cache = None
     if pid > 0:
+        import os as _os
+
+        S = cps.slots
+        nmod_mm = MM.mm_nmod(cps)
+
+        def _dev_bytes(n_r, n_c):
+            tot = 0
+            for bi in range(0, n_r, S):
+                r = min(S, n_r - bi)
+                for bj in range(0, n_c, S):
+                    c = min(S, n_c - bj)
+                    ndiag = r + (c - 1 if c > 1 else 0)
+                    ndiag = min(ndiag, S)
+                    tot += ndiag * nmod_mm * cps.ctx.n * 4
+            return tot
+
+        budget = int(
+            _os.environ.get("SFGWAS_PCA_DEVICE_CACHE_BYTES", 6 << 30)
+        )
+        host_res = 2 * _dev_bytes(X.shape[0], X.shape[1]) > budget
+        if host_res:
+            log(
+                f"pid{pid} pca: diag caches host-streamed "
+                f"({2 * _dev_bytes(X.shape[0], X.shape[1]) / 1e9:.1f} GB of "
+                f"device polys > {budget / 1e9:.1f} GB budget)"
+            )
         x_cache = MM.preprocess_matrix(
-            cps, X, cache_file=f"{cache_prefix}_x.npz" if cache_prefix else None
+            cps, X,
+            cache_file=f"{cache_prefix}_x.npz" if cache_prefix else None,
+            host_resident=host_res,
         )
         xt_cache = MM.preprocess_matrix(
             cps,
             np.ascontiguousarray(X.T),
             cache_file=f"{cache_prefix}_xt.npz" if cache_prefix else None,
+            host_resident=host_res,
         )
 
     # ---- sketch + first/second moments (gwas/pca.go:122-191)

@@ -382,18 +382,32 @@ class ProtocolInfo:
 
         X = None
         if pid > 0:
-            mats = []
+            # preallocate the filtered matrix and fill block-slices straight
+            # from the memmaps: peak RSS = one X, not the 2x of a
+            # list-concatenate (the reference streams X entirely,
+            # gwas/gwas.go:545-607; the bounded-memory path here is the
+            # host-streamed diag cache inside distributed_pca)
+            n_keep_rows = int(
+                sum(
+                    (b.row_filt.sum() if b.row_filt is not None else b.num_rows)
+                    for b in self.geno_blocks[:1]
+                )
+            )
+            X = np.empty((n_keep_rows, n_pca), np.int8)
             shift = 0
+            col = 0
             for b, bs in zip(self.geno_blocks, self.geno_block_sizes):
                 sub_filt = pca_filt[shift : shift + bs]
+                nc = int(sub_filt.sum())
                 full = np.memmap(b.filename, dtype=np.int8, mode="r")[
                     : b.num_rows * b.num_cols
                 ].reshape(b.num_rows, b.num_cols)
                 rf = b.row_filt if b.row_filt is not None else np.ones(b.num_rows, bool)
                 sel = full[rf][:, sub_filt]
-                mats.append(np.where(sel < 0, 0, sel))
+                X[:, col : col + nc] = np.where(sel < 0, 0, sel)
+                col += nc
                 shift += bs
-            X = np.concatenate(mats, axis=1).astype(np.int8)
+            assert col == n_pca, (col, n_pca)
 
         self.mpc.assert_sync()
         qpc = pca_mod.distributed_pca(

@@ -53,10 +53,10 @@ def make_data(tmpdir, rng):
 
 
 def make_config(tmpdir, pid, skip_pca=True, logistic=False, cached=False,
-                cached_keys=False):
+                cached_keys=False, preset="TEST8"):
     cfg = Config()
     cfg.num_main_parties = 2
-    cfg.ckks_params = "TEST8"
+    cfg.ckks_params = preset
     cfg.num_inds = N_PER
     cfg.num_snps = M
     cfg.num_covs = NCOV
@@ -97,7 +97,7 @@ def make_config(tmpdir, pid, skip_pca=True, logistic=False, cached=False,
 
 
 def run_protocol(tmpdir, skip_pca=True, logistic=False, cached=False,
-                 cached_pca=False, cached_keys=False):
+                 cached_pca=False, cached_keys=False, preset="TEST8"):
     cluster = LocalCluster(NPARTY)
     outs = [None] * NPARTY
     errs = [None] * NPARTY
@@ -110,7 +110,7 @@ def run_protocol(tmpdir, skip_pca=True, logistic=False, cached=False,
         try:
             cfg = make_config(
                 tmpdir, pid if pid > 0 else 1, skip_pca, logistic, cached,
-                cached_keys,
+                cached_keys, preset=preset,
             )
             if cached_pca:
                 cfg.use_cached_pca = True
@@ -185,17 +185,36 @@ def test_e2e_linear_no_pca(tmp_path):
     assert corr > 0.999, corr
 
 
-def test_e2e_cached_resume(tmp_path):
+@pytest.mark.parametrize(
+    "preset",
+    [
+        "TEST8",
+        pytest.param(
+            "TEST10",
+            marks=pytest.mark.skipif(
+                not os.environ.get("SFGWAS_SLOW"),
+                reason="deeper-chain preset (~minutes); set SFGWAS_SLOW=1",
+            ),
+        ),
+    ],
+)
+def test_e2e_cached_resume(tmp_path, preset):
     """Checkpoint/resume (SURVEY §5): a second run with use_cached_keys +
     use_cached_qc + use_cached_combined_q must reproduce the statistics from
     the caches.  Keys must persist (use_cached_keys) for the ciphertext
     caches (Qcomb, per-block results) to be decryptable in the second run —
-    a fresh collective keygen invalidates them."""
+    a fresh collective keygen invalidates them.  TEST10 runs the same resume
+    over a deeper rescale chain (5 levels), where per-column scale drift
+    accumulates between bootstrap resets — the class that crashed the PN14
+    phase-3 resume in round 3 (VERDICT r4 #3)."""
     rng = np.random.default_rng(99)
     data = make_data(str(tmp_path), rng)
-    first = run_protocol(str(tmp_path), skip_pca=True, cached_keys=True)[1]
+    first = run_protocol(
+        str(tmp_path), skip_pca=True, cached_keys=True, preset=preset
+    )[1]
     second = run_protocol(
-        str(tmp_path), skip_pca=True, cached=True, cached_keys=True
+        str(tmp_path), skip_pca=True, cached=True, cached_keys=True,
+        preset=preset,
     )[1]
     assert second.shape == first.shape
     # same QC filter and cached Qcomb -> numerically close statistics

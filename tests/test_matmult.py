@@ -150,3 +150,58 @@ def test_pipeline_device_routing():
 
     res = run_parties(3, fn)
     assert res[1] and res[2]
+
+
+def test_mat_mult_host_streaming_bit_identical(monkeypatch):
+    """Host-streaming diagonal cache (reference DiagCacheStream,
+    gwas/filestream.go:19-282): pre-NTT host chunks materialized per scan
+    group under a byte budget must be BIT-identical to the device-resident
+    path (same integers through the same kernels)."""
+    rng = np.random.default_rng(17)
+    s = 2
+    n, m = 200, 300  # 2 block rows x 3 block cols at 128 slots
+    Q = rng.normal(size=(s, n)) * 0.5
+    X = rng.integers(0, 3, size=(n, m)).astype(np.int8)
+    # tiny budget: forces several streamed sub-groups per block row
+    monkeypatch.setattr(MM._MatmulPlan, "STREAM_GROUP_BYTES", 1 << 22)
+
+    def fn(mpc):
+        cps = mhe.collective_init(mpc.net, PRESET, shifts_override=_shifts())
+        if mpc.pid == 0:
+            return None
+        nbr = (n + SLOTS - 1) // SLOTS
+        if mpc.pid == 1:
+            A = []
+            for i in range(s):
+                A.append([
+                    B.encrypt_float_vector(cps, Q[i, b0 : b0 + SLOTS])[0]
+                    for b0 in range(0, n, SLOTS)
+                ])
+        else:
+            A = [[None] * nbr for _ in range(s)]
+        A = [
+            [mhe.broadcast_ciphertext(mpc.net, cps, A[i][j], 1)
+             for j in range(nbr)]
+            for i in range(s)
+        ]
+        dev_cache = MM.preprocess_matrix(cps, X)
+        host_cache = MM.preprocess_matrix(cps, X, host_resident=True)
+        out_dev = MM.mat_mult_cached(cps, A, dev_cache)
+        out_host = MM.mat_mult_cached(cps, A, host_cache)
+        same = all(
+            (np.asarray(cd.c0) == np.asarray(ch.c0)).all()
+            and (np.asarray(cd.c1) == np.asarray(ch.c1)).all()
+            and cd.nmod == ch.nmod
+            and cd.scale == ch.scale
+            for rd, rh in zip(out_dev, out_host)
+            for cd, ch in zip(rd, rh)
+        )
+        # decode one output to pin correctness, not just identity
+        pt = mhe.collective_decrypt(mpc.net, cps, out_host[0][0], -1)
+        return same, np.asarray(cps.ctx.decode(pt))
+
+    res = run_parties(3, fn)
+    same, got = res[1]
+    assert same, "streamed path diverged from device-resident path"
+    want = (Q @ X.astype(np.float64))[0]
+    assert np.abs(got[: min(SLOTS, m)] - want[:SLOTS]).max() < 1e-2

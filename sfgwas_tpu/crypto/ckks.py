@@ -385,16 +385,15 @@ class CkksContext:
     # ---------------------------------------------------------- arithmetic
 
     # paired-prime rescaling leaves scales drifting off the preset scale by
-    # the pair-product/Delta ratio (~2^-12 per level on production presets;
-    # up to ~0.6% on the narrow TEST8 prime set).  Adds tolerate the drift,
-    # keeping the first operand's scale: relative error <= the drift bound,
-    # well inside the fixed-point noise floor of the GWAS statistics.
-    # scales within this relative distance are absorbed by keeping the
-    # first operand's scale: the value error equals the mismatch, and below
-    # this bound it sits under the pipeline's fixed-point noise floor
-    # (sign-balanced prime pairing keeps single-level drift ~2e-4).  Past
-    # it, add/sub EXACTLY aligns the operands by folding the ratio into a
-    # scale-targeted constant multiply (SetScale).
+    # the pair-product/Delta ratio -- MEASURED 0.5-1.9% per pair on the
+    # PN14 chain (pair(10,9)=1.0110x, pair(8,7)=1.0135x), NOT the 2e-4 a
+    # sign-balanced pairing would give; two rescales compound to ~2.5%.
+    # Scales within _SCALE_EQ are absorbed by keeping the first operand's
+    # scale (value error = the mismatch, under the fixed-point noise
+    # floor).  Past it, add/sub -- AND add_plain -- EXACTLY align the
+    # operands by folding the ratio into a scale-targeted constant
+    # multiply (SetScale); the collective bootstrap's sub-top reset is the
+    # other hard realignment point.
     _SCALE_EQ = 5e-4
     # fallback when no level is left to align with: tolerate only drift-
     # sized mismatch (paired primes keep per-level drift ~1e-3)
@@ -460,6 +459,28 @@ class CkksContext:
         return Ciphertext(neg_mod(a.c0, t["q"]), neg_mod(a.c1, t["q"]), a.nmod, a.scale)
 
     def add_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        # Scale alignment is as mandatory here as in ct+ct adds: a raw poly
+        # add of a plaintext encoded at the preset scale onto a ciphertext
+        # whose scale has drifted through paired-prime rescales misdecodes
+        # the PLAINTEXT by the full ratio.  PN14's pairs sit up to 1.9%
+        # above the preset scale, so two rescales put a ct ~2.5% below it
+        # -- exactly the DC bias that corrupted the round-4 ynew
+        # (y*(scale_pt/scale_ct) - Qproj instead of y - Qproj).  When the
+        # ciphertext has a level to burn, retarget it EXACTLY onto the
+        # plaintext's scale (SetScale); at the floor, fall back to the
+        # counted drift tolerance like _align_scales.
+        if abs(a.scale / pt.scale - 1) >= self._SCALE_EQ:
+            if min(a.nmod, pt.nmod) >= self.params.base_nmod + 2:
+                a = self.rescale(self.mul_const_to(a, 1.0, pt.scale))
+            else:
+                assert abs(a.scale / pt.scale - 1) < self._SCALE_TOL, (
+                    a.scale,
+                    pt.scale,
+                )
+                self.scale_drift_accepts += 1
+                drift = abs(a.scale / pt.scale - 1)
+                if drift > self.scale_drift_max:
+                    self.scale_drift_max = drift
         nmod = min(a.nmod, pt.nmod)
         t = _sel(self.basis, tuple(range(nmod)))
         return Ciphertext(

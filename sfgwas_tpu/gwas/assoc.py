@@ -177,7 +177,15 @@ def get_association_stats(
 
         ynew = MM.dc_matmul_aat_b(cps, mpc, Q, [y_pt], nrows_all, 1, mmplainfn)
         ynew0 = B.cmult_const(cps, ynew[0], inv_n, rescale=True)
-        ynew0 = mhe.bootstrap_mat_all(mpc.net, cps, [ynew0])[0]
+        # refresh two primes below the top: the exact scale reset applies,
+        # so the cpadd below adds y at EXACTLY the projection's scale.  At
+        # the top there is no reset headroom and the projection's two
+        # rescales leave it ~2.5% below the preset scale on PN14's pairs --
+        # the round-4 DC bias (y*1.0247 - Qproj) that shifted every stat by
+        # ~maf (oracle corr 0.966 instead of >0.999).
+        ynew0 = mhe.bootstrap_mat_all(
+            mpc.net, cps, [ynew0], target_nmod=cps.ctx.nq - 2
+        )[0]
         ynew0 = [cps.ctx.mul_const_int(ct, -1) for ct in ynew0]
         ynew0 = B.cpadd(cps, ynew0, y_pt)
 
@@ -403,7 +411,12 @@ def compute_grad_and_inv_hessian(
     p_hat = B.evaluate_chebyshev_bsgs(
         mpc.net, cps, cov_intercept, coeffs, a_lo, b_hi, _refresh_local
     )
-    p_hat = mhe.bootstrap_mat_all(mpc.net, cps, [p_hat])[0]
+    # sub-top refresh = exact scale reset, so y adds at exactly p_hat's
+    # scale (same DC-bias class as the linear ynew, see
+    # get_association_stats)
+    p_hat = mhe.bootstrap_mat_all(
+        mpc.net, cps, [p_hat], target_nmod=ctx.nq - 2
+    )[0]
 
     y_pt = B.encode_float_vector(cps, y)
     y_tilde = [ctx.mul_const_int(ct, -1) for ct in p_hat]

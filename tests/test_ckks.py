@@ -135,3 +135,30 @@ def test_depth_chain(ctx, keys, rng):
         want = want * want
         got = ctx.decode(ctx.decrypt(ct, sk))
         assert np.allclose(got, want, rtol=1e-3), np.abs(got - want).max()
+
+
+def test_add_plain_aligns_drifted_scale(ctx, keys, rng):
+    """add_plain must align scales like ct+ct adds do: a ciphertext whose
+    scale drifted through a rescale (TEST8 pairs sit ~0.5% off the preset
+    scale; PN14's up to 1.9%) plus a preset-scale plaintext must decode to
+    a+b, not a + b*(preset/drifted) -- the round-4 ynew DC-bias regression
+    (y entered the statistic multiplied by ~1.0247)."""
+    sk, pk, rlk, rot = keys
+    a = rng.normal(size=ctx.params.slots)
+    b = rng.normal(size=ctx.params.slots)
+    ca = ctx.encrypt(ctx.encode(a, ctx.nq), pk, rng)
+    # force a PN14-sized drift: encode the 1.0 multiplier 2% off the
+    # preset scale, rescale -- ca's (exactly tracked) scale is now ~2%
+    # below the preset, like the ynew projection after two PN14 rescales
+    ca = ctx.rescale(ctx.mul_const(ca, 1.0, ctx.params.scale * 1.02))
+    drift = abs(ca.scale / ctx.params.scale - 1)
+    assert drift > ctx._SCALE_EQ, (
+        f"fixture no longer drifts (drift={drift:.2e}); pick another chain"
+    )
+    pb = ctx.encode(b, ctx.nq, ctx.params.scale)
+    got = ctx.decode(ctx.decrypt(ctx.add_plain(ca, pb), sk))
+    err = np.abs(got - (a + b)).max()
+    assert err < 1e-4, (
+        f"add_plain misdecoded the plaintext by the scale ratio "
+        f"(drift {drift:.2e}, err {err:.2e})"
+    )

@@ -253,11 +253,48 @@ def finish_block_diagonals(cps: CryptoParams, host_blk, nmod: int) -> DiagBlock:
     return DiagBlock(giants, babies, _encode_diag_device(cps, chunks, nmod), d)
 
 
-def host_block_diagonals(cps: CryptoParams, block: np.ndarray) -> DiagBlock:
+def host_block_diagonals(
+    cps: CryptoParams, block: np.ndarray, spill: Optional[str] = None
+) -> DiagBlock:
     """Host-streaming DiagBlock: integer coefficient chunks only; the
-    matmult NTTs just the rows each scan group touches."""
+    matmult NTTs just the rows each scan group touches.  With `spill`, the
+    chunks are written once to disk and mmap'd back, so host RSS stays
+    bounded by the touched pages (reclaimable) instead of the whole SNP
+    axis -- the reference's per-block DiagCacheStream files
+    (gwas/filestream.go:19-282), which also make the cache restartable."""
+    if spill and os.path.exists(spill + ".meta.npz"):
+        return _load_host_block(spill)
     giants, babies, d, chunks = encode_block_diagonals_host(cps, block)
-    return DiagBlock(giants, babies, None, d, chunks=chunks)
+    blk = DiagBlock(giants, babies, None, d, chunks=chunks)
+    if spill:
+        _spill_host_block(blk, spill)
+        return _load_host_block(spill)
+    return blk
+
+
+def _spill_host_block(blk: DiagBlock, path: str) -> None:
+    hi = np.concatenate([c[0][: c[2]] for c in blk.chunks])
+    lo = np.concatenate([c[1][: c[2]] for c in blk.chunks])
+    np.save(path + ".hi.npy", hi)
+    np.save(path + ".lo.npy", lo)
+    np.savez(
+        path + ".meta.npz", giants=blk.giants, babies=blk.babies, d=blk.d
+    )
+
+
+def _load_host_block(path: str) -> DiagBlock:
+    z = np.load(path + ".meta.npz")
+    hi = np.load(path + ".hi.npy", mmap_mode="r")
+    lo = np.load(path + ".lo.npy", mmap_mode="r")
+    K = hi.shape[0]
+    step = 1024
+    chunks = [
+        (hi[k0 : k0 + step], lo[k0 : k0 + step], min(step, K - k0))
+        for k0 in range(0, K, step)
+    ]
+    return DiagBlock(
+        z["giants"], z["babies"], None, int(z["d"]), chunks=chunks
+    )
 
 
 def encode_block_diagonals(
@@ -296,11 +333,13 @@ def preprocess_matrix(
         row = []
         for bj in range(0, m, S):
             blk = mat[bi : bi + S, bj : bj + S]
-            row.append(
-                host_block_diagonals(cps, blk)
-                if host_resident
-                else encode_block_diagonals(cps, blk, nmod)
-            )
+            if host_resident:
+                spill = (
+                    f"{cache_file}.w{bi}_{bj}" if cache_file else None
+                )
+                row.append(host_block_diagonals(cps, blk, spill=spill))
+            else:
+                row.append(encode_block_diagonals(cps, blk, nmod))
         out.append(row)
     if cache_file and os.environ.get("SFGWAS_DIAG_DISK_CACHE") and not host_resident:
         # disk spill is opt-in: it exists for PCA restarts (the reference's

@@ -205,3 +205,99 @@ def test_mat_mult_host_streaming_bit_identical(monkeypatch):
     assert same, "streamed path diverged from device-resident path"
     want = (Q @ X.astype(np.float64))[0]
     assert np.abs(got[: min(SLOTS, m)] - want[:SLOTS]).max() < 1e-2
+
+
+def test_mat_mult_host_streaming_disk_spill(monkeypatch, tmp_path):
+    """Disk-spilled host chunks (per-block DiagCacheStream files,
+    gwas/filestream.go:19-282): spill + mmap reload must produce the same
+    ciphertexts as the in-RAM host chunks, and a second preprocess call
+    must restart from the files."""
+    rng = np.random.default_rng(23)
+    n, m = 150, 280
+    Q = rng.normal(size=(1, n)) * 0.5
+    X = rng.integers(0, 3, size=(n, m)).astype(np.int8)
+
+    def fn(mpc):
+        cps = mhe.collective_init(mpc.net, PRESET, shifts_override=_shifts())
+        if mpc.pid == 0:
+            return None
+        nbr = (n + SLOTS - 1) // SLOTS
+        if mpc.pid == 1:
+            A = [[
+                B.encrypt_float_vector(cps, Q[0, b0 : b0 + SLOTS])[0]
+                for b0 in range(0, n, SLOTS)
+            ]]
+        else:
+            A = [[None] * nbr]
+        A = [[mhe.broadcast_ciphertext(mpc.net, cps, A[0][j], 1)
+              for j in range(nbr)]]
+        prefix = str(tmp_path / f"spill_p{mpc.pid}")
+        ram = MM.preprocess_matrix(cps, X, host_resident=True)
+        disk = MM.preprocess_matrix(
+            cps, X, cache_file=prefix, host_resident=True
+        )
+        # restart: reload from the files with a zeroed matrix
+        disk2 = MM.preprocess_matrix(
+            cps, np.zeros_like(X), cache_file=prefix, host_resident=True
+        )
+        outs = [
+            MM.mat_mult_cached(cps, A, c) for c in (ram, disk, disk2)
+        ]
+        ref = outs[0]
+        same = all(
+            (np.asarray(a.c0) == np.asarray(b.c0)).all()
+            and (np.asarray(a.c1) == np.asarray(b.c1)).all()
+            for o in outs[1:]
+            for ra, rb in zip(ref, o)
+            for a, b in zip(ra, rb)
+        )
+        return same
+
+    res = run_parties(3, fn)
+    assert res[1] is True
+
+
+def test_streaming_matmult_rss_bounded_1m_snps(tmp_path):
+    """Long-SNP-axis boundedness (SURVEY §5; VERDICT r4 #7): the
+    disk-spilled streaming preprocess of a synthetic 1M-SNP matrix must
+    keep host RSS bounded by ONE block's working set, not the SNP axis
+    (in-RAM host chunks for 1M SNPs would be ~4 GB at this geometry;
+    device-resident polys ~20 GB).  The matmult working set is bounded
+    separately by the stream-group budget (bit-identity tests above); its
+    index plan is O(nbc * nseg) ≈ 160 MB at PN14 geometry for 1M SNPs.
+    Slow (minutes of host FFT): gated behind SFGWAS_SLOW."""
+    import os as _os
+    import resource
+
+    import pytest as _pytest
+
+    if not _os.environ.get("SFGWAS_SLOW"):
+        _pytest.skip("minutes of host FFT; set SFGWAS_SLOW=1")
+
+    rng = np.random.default_rng(29)
+    n, m = 128, 1_000_000
+    X = rng.integers(0, 3, size=(n, m)).astype(np.int8)
+
+    def fn(mpc):
+        cps = mhe.collective_init(mpc.net, PRESET, shifts_override=_shifts())
+        if mpc.pid == 0:
+            return None
+        if mpc.pid != 1:
+            return True  # single-party measurement; others idle in sync
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+        cache = MM.preprocess_matrix(
+            cps, X, cache_file=str(tmp_path / "mm1m"), host_resident=True
+        )
+        assert len(cache[0]) == (m + SLOTS - 1) // SLOTS
+        # every block is spilled + mmap'd, none holds polys in RAM
+        assert all(b.polys is None for row in cache for b in row)
+        peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+        return peak - rss0
+
+    res = run_parties(3, fn)
+    delta = res[1]
+    # bounded by scratch buffers + transient per-block chunks + the mmap
+    # page-cache high-water (reclaimable), NOT the 4 GB of chunk data
+    budget = 3 << 30
+    print(f"1M-SNP streaming preprocess RSS delta: {delta/1e9:.2f} GB")
+    assert delta < budget, delta

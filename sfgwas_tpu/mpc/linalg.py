@@ -357,3 +357,28 @@ def matrix_inverse_sym_pos(mpc: MPC, A):
     AInv = mpc.ss_mult_mat(np.swapaxes(AInvSqrt, 0, 1), AInvSqrt)
     AInv = mpc.trunc(AInv, kb, fb)
     return AInv, AInvSqrt
+
+
+def matrix_inverse_svd(mpc: MPC, A):
+    """Plain inverse of a square invertible shared matrix via the
+    eigendecomposition of its Gram matrix (MatrixInverseSVD,
+    mpc/mpc.go:2795-2838): A^{-1} = (A^T A)^{-1} A^T, with
+    (A^T A)^{-1} = V^T diag(1/lambda) V from the shifted-QR eigen solver
+    (1/lambda = invsqrt(lambda)^2, no secure division needed)."""
+    ring = mpc.ring
+    kb, fb = mpc.data_bits, mpc.frac_bits
+    G = mpc.ss_mult_mat(np.swapaxes(A, 0, 1), A)
+    G = mpc.trunc(G, kb, fb)
+    Vt, L = eigen_decomp(mpc, G)
+    _, l_inv_sqrt = mpc.sqrt_and_sqrt_inverse(L, False)
+    # rows of Vt are eigenvectors: Ginv = sum_k (1/l_k) v_k v_k^T
+    lr, lm = mpc.beaver_partition(l_inv_sqrt)
+    vr, vm = mpc.beaver_partition(Vt)
+    W = mpc.beaver_reconstruct(
+        mpc.beaver_mult_elem(vr, vm, lr[:, None], lm[:, None])
+    )
+    W = mpc.trunc(W, kb, fb)  # W = diag(invsqrt(l)) V, so Ginv = W^T W
+    Ginv = mpc.ss_mult_mat(np.swapaxes(W, 0, 1), W)
+    Ginv = mpc.trunc(Ginv, kb, fb)
+    Ainv = mpc.ss_mult_mat(Ginv, np.swapaxes(A, 0, 1))
+    return mpc.trunc(Ainv, kb, fb)

@@ -102,3 +102,20 @@ def test_chol_whiten():
     assert np.allclose(W, np.triu(W), atol=1e-6), W
     M = W.T @ G @ W
     assert np.allclose(M, np.eye(4), atol=2e-2), M
+
+
+def test_matrix_inverse_svd():
+    """General (non-symmetric) inverse via the Gram eigendecomposition
+    (MatrixInverseSVD, mpc/mpc.go:2795-2838)."""
+    rng = np.random.default_rng(7)
+    A = np.eye(3) * 1.1 + rng.normal(size=(3, 3)) * 0.25
+
+    def fn(mpc):
+        sh = make_shares(mpc, [fxp(v) for v in A.reshape(-1)]).reshape(3, 3, -1)
+        Ainv = linalg.matrix_inverse_svd(mpc, sh)
+        return reveal_ints(mpc, Ainv.reshape(9, -1))
+
+    res = run_parties(3, fn)
+    got = tofloat_arr(res[1]).reshape(3, 3)
+    want = np.linalg.inv(A)
+    assert np.abs(got - want).max() < 0.05, got - want

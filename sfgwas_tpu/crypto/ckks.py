@@ -16,6 +16,7 @@ each active prime)."""
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -859,8 +860,20 @@ class CkksContext:
     def iperms_for(self, gs) -> jnp.ndarray:
         return jnp.stack([self._iperm_for(g) for g in gs])
 
-    @_ctxjit(6)
     def hoisted_rotations_all(self, c0s, c1s, perms, ik0s, ik1s, nmod: int):
+        if os.environ.get("SFGWAS_SPLIT_BIG_KERNELS"):
+            return self._hoisted_rotations_all_body(
+                c0s, c1s, perms, ik0s, ik1s, nmod
+            )
+        return self._hoisted_rotations_all_jit(
+            c0s, c1s, perms, ik0s, ik1s, nmod
+        )
+
+    @_ctxjit(6)
+    def _hoisted_rotations_all_jit(self, c0s, c1s, perms, ik0s, ik1s, nmod: int):
+        return self._hoisted_rotations_all_body(c0s, c1s, perms, ik0s, ik1s, nmod)
+
+    def _hoisted_rotations_all_body(self, c0s, c1s, perms, ik0s, ik1s, nmod: int):
         """Hoisted rotations batched over BOTH ciphertext rows and shifts:
         c0s/c1s [s, nmod, N]; perms [B, N] Galois permutations; ik0s/ik1s
         [B, nmod, next, N] stacked keys pre-permuted by sigma_b^{-1}
@@ -909,12 +922,28 @@ class CkksContext:
         R0 = add_mod(c0g, k0, tq)
         return jnp.swapaxes(R0, 0, 1), jnp.swapaxes(k1, 0, 1)
 
-    @_ctxjit(6)
     def rotate_grouped_b(self, c0s, c1s, perms, ik0s, ik1s, nmod: int):
         """Giant-step epilogue rotations batched over rows: c0s/c1s
         [R, s, nmod, N] (R rotation groups x s ciphertext rows), perms
         [R, N], ik0s/ik1s [R, nmod, next, N] inverse-permuted keys shared
-        by the s rows of each group.  Returns (r0, r1) [R, s, nmod, N]."""
+        by the s rows of each group.  Returns (r0, r1) [R, s, nmod, N].
+
+        SFGWAS_SPLIT_BIG_KERNELS=1 runs the body unjitted: the fused
+        program embeds the NTT twiddle tables several times (~15 MB of
+        MLIR), which the axon remote compiler's AOT-helper path rejects
+        when it is degraded; split, the constituent kernels stay under the
+        size threshold (and mostly hit the compile cache)."""
+        if os.environ.get("SFGWAS_SPLIT_BIG_KERNELS"):
+            return self._rotate_grouped_b_body(
+                c0s, c1s, perms, ik0s, ik1s, nmod
+            )
+        return self._rotate_grouped_b_jit(c0s, c1s, perms, ik0s, ik1s, nmod)
+
+    @_ctxjit(6)
+    def _rotate_grouped_b_jit(self, c0s, c1s, perms, ik0s, ik1s, nmod: int):
+        return self._rotate_grouped_b_body(c0s, c1s, perms, ik0s, ik1s, nmod)
+
+    def _rotate_grouped_b_body(self, c0s, c1s, perms, ik0s, ik1s, nmod: int):
         R, s = c0s.shape[0], c0s.shape[1]
         ext_rows = tuple(range(nmod)) + (self.sp_row,)
         t = _sel(self.basis, ext_rows)

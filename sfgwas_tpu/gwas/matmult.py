@@ -743,12 +743,7 @@ class _MatmulPlan:
                 if sub:
                     row.append(self._build_group(sub, dv))
             groups.append(row)
-        if not self.stream:
-            # streamed groups hold closures; caching them is fine (small),
-            # but keep parity with the device path for simplicity
-            self._groups[key] = groups
-        else:
-            self._groups[key] = groups
+        self._groups[key] = groups
         return groups
 
     def _chunk(self, blk: DiagBlock, bj: int, k0: int, k1: int, bpos) -> dict:

@@ -224,6 +224,11 @@ def distributed_pca(
 
     # ---- power iterations (gwas/pca.go:339-371)
     for it in range(it_start, num_power_iters):
+        # lockstep barrier (gwas/pca.go:121 AssertSync): the dealer's ops in
+        # an iteration are send-only, so without this pid0 races arbitrarily
+        # far ahead, queueing unbounded correlated-randomness traffic (r4:
+        # 148k messages / 161 MB backlog) and desynchronizing phase logs
+        mpc.assert_sync()
         log(f"pid{pid} PCA power iter {it + 1}/{num_power_iters}")
         if pid > 0:
             Qs = MM.qxt_lazy_norm_stream(

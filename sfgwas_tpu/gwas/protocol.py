@@ -437,6 +437,9 @@ class ProtocolInfo:
         else:
             with open(self.cache_path("Qpc.done"), "w") as f:
                 f.write("1\n")
+        # end-of-phase barrier (gwas/pca.go:492): keeps the dealer from
+        # racing into phase 3 while data parties are still in PCA
+        self.mpc.assert_sync()
         self.net.print_log()
         return qpc
 

@@ -170,6 +170,28 @@ def _window_cache_consensus(mpc: MPC, want: bool) -> bool:
     return bool(mpc.net.recv_int(mpc.hub_pid))
 
 
+def _window_cache_tag(fp: FilterParams, ac, gc, miss, num_ind, total_inds) -> str:
+    """Short content hash naming a QC window-cache file: thresholds + the
+    window's geno-stats bytes + cohort sizes (ADVICE r4: un-keyed window
+    caches silently survived threshold changes)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    h.update(
+        repr(
+            (
+                fp.maf_lower, fp.hwe_upper, fp.geno_miss,
+                fp.ind_miss, fp.het_lower, fp.het_upper,
+                int(num_ind), int(total_inds),
+            )
+        ).encode()
+    )
+    for arr in (ac, gc, miss):
+        a = np.ascontiguousarray(arr)
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def snp_filter_with_precomputed_stats(
     mpc: MPC, ac, gc, miss, num_ind: int, total_inds: int, fp: FilterParams,
     cache_prefix: Optional[str] = None,
@@ -184,7 +206,16 @@ def snp_filter_with_precomputed_stats(
         out = np.zeros(m, dtype=bool)
         for s in range(0, m, MAX_WINDOW):
             e = min(s + MAX_WINDOW, m)
-            wf = f"{cache_prefix}_qcwin_{s}_{e}.npy" if cache_prefix else None
+            # window caches are keyed by the QC thresholds AND a fingerprint
+            # of the window's input stats, so re-running with changed
+            # FilterParams (or different data in the same cache_dir) misses
+            # cleanly instead of silently returning stale filters
+            wf = (
+                f"{cache_prefix}_qcwin_{s}_{e}_"
+                f"{_window_cache_tag(fp, ac[:, s:e], gc[:, s:e], miss[s:e], num_ind, total_inds)}.npy"
+                if cache_prefix
+                else None
+            )
             # party 0 holds no caches; it votes yes and follows the others
             want = mpc.pid == 0 or (wf is not None and os.path.exists(wf))
             if wf is not None and _window_cache_consensus(mpc, want):

@@ -339,6 +339,7 @@ class StripedTransport:
         assert nchannel >= 1
         self.chans = [make_channel(c) for c in range(nchannel)]
         self.nchannel = nchannel
+        self._broken = False
         self._pool = (
             ThreadPoolExecutor(max_workers=nchannel - 1, thread_name_prefix="stripe")
             if nchannel > 1
@@ -363,6 +364,8 @@ class StripedTransport:
             f.result()
 
     def recv_bytes(self, frm: int, timeout: Optional[float] = None) -> bytes:
+        if self._broken:
+            raise ConnectionError("striped transport broken by earlier failure")
         head = self.chans[0].recv_bytes(frm, timeout)
         tag = head[:1]
         if tag == b"\x00":
@@ -373,7 +376,15 @@ class StripedTransport:
             self._pool.submit(self.chans[c].recv_bytes, frm, timeout)
             for c in range(1, k)
         ]
-        parts = [head[9:]] + [f.result() for f in futs]
+        try:
+            parts = [head[9:]] + [f.result() for f in futs]
+        except Exception:
+            # the channel-0 header and some stripes were consumed: the
+            # per-pair streams are desynchronized beyond repair — fail the
+            # whole mesh fast rather than decode garbage on the next frame
+            self._broken = True
+            self.close()
+            raise
         out = b"".join(parts)
         assert len(out) == total, (len(out), total)
         return out
@@ -396,6 +407,23 @@ def make_tcp_transport(
     builds, pure-Python sockets otherwise; striped across `nchannel`
     connections per pair when nchannel > 1 (the reference's
     (pair x thread) mesh, mpc/netconnect.go:191-216)."""
+
+    if nchannel > 1:
+        # base ports must be >= nchannel apart or pair (a,b) channel k
+        # collides with pair (a,c) channel 0 (the reference's config layout
+        # spaces them by 100 for the same reason)
+        bases = sorted(
+            int(port)
+            for a in range(nparty)
+            for port in servers.get(a, {}).get("ports", {}).values()
+        )
+        for lo, hi in zip(bases, bases[1:]):
+            if hi - lo < nchannel:
+                raise ValueError(
+                    f"pair base ports {lo} and {hi} are closer than "
+                    f"mpc_num_threads={nchannel}; striped channels would "
+                    f"collide — space the ports.party* bases further apart"
+                )
 
     def make_channel(c: int):
         try:

@@ -97,13 +97,25 @@ def test_qc_windowed_rss(monkeypatch):
 
 def test_qc_per_window_caches(monkeypatch, tmp_path):
     """Per-window cache files (gwas/qualcontrol.go:92-126): a rerun with
-    caches present must reproduce the mask WITHOUT touching the stats
-    (zeros passed on resume), proving mid-scan resume works window-wise."""
+    identical stats + thresholds must reproduce the mask from the caches
+    alone (no fresh window MPC work), while changed thresholds or changed
+    input stats must MISS the caches and recompute (ADVICE r4: un-keyed
+    window caches silently survived threshold/data changes)."""
     monkeypatch.setattr(qc_mod, "MAX_WINDOW", 40)
     M_ = 100
     fp = FilterParams(0.2, 28.374, 0.1, 1.0, 0.0, 1.0)
 
-    def run(use_zeros):
+    fresh_windows = [0]  # windows computed via MPC (not loaded from cache)
+    real_miss_filter = qc_mod.snp_miss_filter
+
+    def counting_miss_filter(mpc, *a, **k):
+        if mpc.pid == 1:
+            fresh_windows[0] += 1
+        return real_miss_filter(mpc, *a, **k)
+
+    monkeypatch.setattr(qc_mod, "snp_miss_filter", counting_miss_filter)
+
+    def run(use_zeros, fp=fp):
         cluster = LocalCluster(NP_)
         outs = [None] * NP_
         errs = [None] * NP_
@@ -156,8 +168,23 @@ def test_qc_per_window_caches(monkeypatch, tmp_path):
     first = run(use_zeros=False)
     caches = sorted(tmp_path.glob("party1_qcwin_*.npy"))
     assert len(caches) == 3, caches  # 100 SNPs / 40-window
-    # resume: same masks reproduced from caches alone (zeroed stats would
-    # otherwise change the filter)
-    second = run(use_zeros=True)
-    assert (first[1] == second[1]).all()
+    assert fresh_windows[0] == 3
     assert first[1].sum() > 0
+
+    # resume with IDENTICAL stats: caches hit, zero fresh window compute
+    fresh_windows[0] = 0
+    second = run(use_zeros=False)
+    assert fresh_windows[0] == 0
+    assert (first[1] == second[1]).all()
+
+    # changed thresholds: the content-keyed cache names miss -> recompute
+    fresh_windows[0] = 0
+    fp2 = FilterParams(0.4, 28.374, 0.1, 1.0, 0.0, 1.0)
+    run(use_zeros=False, fp=fp2)
+    assert fresh_windows[0] == 3
+
+    # changed input stats (zeros): also a miss -> recompute, instead of
+    # silently returning the stale filters for different data
+    fresh_windows[0] = 0
+    run(use_zeros=True)
+    assert fresh_windows[0] == 3

@@ -137,9 +137,14 @@ def measure_and_print():
 _ATTEMPTS = [
     # (mode label, extra env)
     ("fused", {}),
+    # the four-step MXU NTT materializes [nmod*giants, 128, 128]-factored
+    # temps (~1.7 GB each) inside the fused epilogue; when the compiler
+    # remats them the program OOMs (round 4/5).  Butterfly NTT + fused
+    # rotation kernels measured 6.016 GMAC/s (r5) — same as the best r3 run
+    ("fused_bfly", {"SFGWAS_NTT4": "0"}),
     # degraded remote compiler (axon AOT helper rejecting big fused
     # programs, round 4): split rotation kernels + butterfly NTT stay
-    # under the compiler's program-size threshold
+    # under the compiler's size threshold (dispatch-bound: ~4.1 GMAC/s)
     ("degraded", {"SFGWAS_NTT4": "0", "SFGWAS_SPLIT_BIG_KERNELS": "1"}),
     # last resort: measure on the CPU backend so a number always prints
     (

@@ -220,6 +220,236 @@ def sq_sum(cps, X: CipherVector) -> C.Ciphertext:
     return inner_prod(cps, X, X)
 
 
+def cmult_pairs(cps, xs, ys) -> list:
+    """x_e * y_e with rescale over two equal-length ciphertext lists at a
+    common level/scale: ONE batched relinearization + ONE batched rescale
+    for all pairs (the Gram/recombine hot path — fixed batch size, so one
+    compiled shape per pass instead of ncols)."""
+    import jax.numpy as jnp
+
+    prods = cps.ctx.mul_relin_pairs(xs, ys, cps.rlk)
+    nmod = prods[0].nmod
+    stack = jnp.concatenate(
+        [jnp.stack([p.c0 for p in prods]), jnp.stack([p.c1 for p in prods])]
+    )
+    res = cps.ctx.rescale2_many(stack, nmod - 1)
+    Bn = len(prods)
+    ctx = cps.ctx
+    out_scale = [
+        p.scale / ctx.basis.primes[nmod - 1] / ctx.basis.primes[nmod - 2]
+        for p in prods
+    ]
+    return [
+        C.Ciphertext(res[j], res[Bn + j], nmod - 2, out_scale[j])
+        for j in range(Bn)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Batched mask kernels (cholQR / Gram / PC-extraction hot paths): stacks of
+# one-hot mask plaintexts are encoded once (host FFT) and cached; the
+# multiply+scatter / multiply+expand run as single fused kernels.
+
+_MASK_STACK_CACHE: dict = {}
+
+
+def _encoded_mask_stack(cps, key, build_masks, nmod: int):
+    """[B, nmod, N] NTT-domain stack of mask plaintexts at the preset
+    scale, cached by (cps identity, key, nmod)."""
+    import jax.numpy as jnp
+
+    from ..ops.rns import ntt_b
+
+    ck = (id(cps), key, nmod)
+    hit = _MASK_STACK_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    ctx = cps.ctx
+    masks = build_masks()  # [B, slots] float rows
+    polys = np.stack(
+        [ctx.encoder.encode(m, ctx.params.scale, nmod) for m in masks]
+    )  # [B, nmod, N] coeff domain
+    rows = tuple(range(nmod))
+    stack = jnp.swapaxes(
+        ntt_b(jnp.swapaxes(jnp.asarray(polys), 0, 1), ctx.basis, rows), 0, 1
+    )
+    _MASK_STACK_CACHE[ck] = stack
+    return stack
+
+
+def mask_scatter_sum(
+    cps, cts, slot_lists, nct_out: int, value: float = 1.0, cache_key=None
+):
+    """sum_e mask(cts[e], slot_lists[e], value) packed into nct_out output
+    ciphertexts: each input ct (its value replicated across slots) lands at
+    the given GLOBAL slot indices (in [0, nct_out*slots)).  One fused
+    multiply-scatter kernel per output ct replaces len(cts)*~2 mask calls
+    + adds (the round-4 cholQR/Gram dispatch storm)."""
+    import jax.numpy as jnp
+
+    assert len(cts) == len(slot_lists)
+    ctx = cps.ctx
+    slots = cps.slots
+    nmod = min(ct.nmod for ct in cts)
+    cts = [ctx.drop_to(ct, nmod) for ct in cts]
+    # rescale-chain drift compensation: input scales may differ by up to a
+    # few permille (per-column pair-product drift at the top of the chain,
+    # where bootstrap has no reset headroom).  Each ct has its own mask
+    # plaintext row, so the ratio folds into the mask VALUE exactly — the
+    # masked integers then all sit at scale0 and sum losslessly (the per-ct
+    # add path absorbed the same drift through _align_scales).
+    scale0 = max(ct.scale for ct in cts)
+    ratios = []
+    for ct in cts:
+        r = scale0 / ct.scale
+        assert 1.0 <= r < 1.1, (ct.scale, scale0)
+        ratios.append(r)
+    drift_key = tuple(round(r, 12) for r in ratios)
+    c0s = jnp.stack([ct.c0 for ct in cts])
+    c1s = jnp.stack([ct.c1 for ct in cts])
+
+    out = []
+    for o in range(nct_out):
+        kk = (
+            ("scatter", cache_key, o, value, drift_key)
+            if cache_key is not None
+            else (
+                "scatter_sl",
+                tuple(tuple(sl) for sl in slot_lists),
+                o,
+                value,
+                drift_key,
+            )
+        )
+
+        def build(o=o):
+            m = np.zeros((len(cts), slots))
+            for e, sl in enumerate(slot_lists):
+                for g in sl:
+                    if g // slots == o:
+                        m[e, g % slots] = value * ratios[e]
+            return m
+
+        pts = _encoded_mask_stack(cps, kk, build, nmod)
+        s0, s1 = ctx.mul_plain_pairs_sum(c0s, c1s, pts, nmod)
+        r0, r1 = ctx._rescale2_pair(s0, s1, nmod - 1)
+        out.append(
+            C.Ciphertext(
+                r0,
+                r1,
+                nmod - 2,
+                scale0
+                * ctx.params.scale
+                / ctx.basis.primes[nmod - 1]
+                / ctx.basis.primes[nmod - 2],
+            )
+        )
+    return out
+
+
+def add_group_mod(cps, cts, groups, ngroups: int, out_scale=None) -> list:
+    """Segment-sum a list of same-level ciphertexts into ngroups outputs
+    (groups[e] = output index of cts[e]): one kernel instead of len(cts)
+    chained adds.  Sums of <64 residues (<2^26 each) stay in uint32 before
+    the final remainder.
+
+    Scales must match exactly, unless the caller pre-compensated the
+    integers to a common scale (mask-value drift folding) and passes it as
+    `out_scale` — then declared per-ct scales may differ by drift amounts."""
+    import jax.numpy as jnp
+
+    from ..ops.rns import _sel as _rsel
+
+    assert len(cts) == len(groups)
+    ctx = cps.ctx
+    nmod = min(ct.nmod for ct in cts)
+    cts = [ctx.drop_to(ct, nmod) for ct in cts]
+    if out_scale is None:
+        scale0 = cts[0].scale
+        for ct in cts[1:]:
+            assert abs(ct.scale / scale0 - 1) < 1e-9, (ct.scale, scale0)
+    else:
+        scale0 = out_scale
+        for ct in cts:
+            assert abs(ct.scale / scale0 - 1) < 0.1, (ct.scale, scale0)
+    counts = np.bincount(np.asarray(groups), minlength=ngroups)
+    assert counts.max() < 64, counts.max()
+    q = _rsel(ctx.basis, tuple(range(nmod)))["q"]
+    seg = jnp.asarray(np.asarray(groups, np.int32))
+    c0s, c1s = _segsum_mod(
+        jnp.stack([ct.c0 for ct in cts]),
+        jnp.stack([ct.c1 for ct in cts]),
+        seg,
+        q,
+        ngroups,
+    )
+    return [
+        C.Ciphertext(c0s[g], c1s[g], nmod, scale0) for g in range(ngroups)
+    ]
+
+
+import functools as _functools  # noqa: E402
+
+
+@_functools.partial(__import__("jax").jit, static_argnums=(4,))
+def _segsum_mod(c0s, c1s, seg, q, ngroups: int):
+    import jax
+
+    s0 = jax.ops.segment_sum(c0s, seg, num_segments=ngroups) % q
+    s1 = jax.ops.segment_sum(c1s, seg, num_segments=ngroups) % q
+    return s0, s1
+
+
+def expand_slots_many(
+    cps, ct: C.Ciphertext, indices, cache_key=None, value_scales=None
+) -> list:
+    """For each slot index e: extract ct[indices[e]] and replicate it across
+    all slots.  One batched one-hot multiply + one shared rotation ladder
+    (log2(slots) grouped keyswitches for the WHOLE batch) — replaces E
+    (mask + rotate_and_add) pairs.
+
+    value_scales[e] (optional) multiplies entry e's one-hot value — the
+    drift-compensation hook: a later product with a ct whose scale sits
+    value_scales[e] BELOW a reference then lands exactly on the reference
+    scale (declare it via add_group_mod's out_scale)."""
+    import jax.numpy as jnp
+
+    ctx = cps.ctx
+    slots = cps.slots
+    nmod = ct.nmod
+    indices = [int(i) for i in indices]
+    vs = (
+        [1.0] * len(indices)
+        if value_scales is None
+        else [float(v) for v in value_scales]
+    )
+
+    def build():
+        m = np.zeros((len(indices), slots))
+        for e, idx in enumerate(indices):
+            m[e, idx] = vs[e]
+        return m
+
+    vs_key = tuple(round(v, 12) for v in vs)
+    kk = ("expand", cache_key, vs_key) if cache_key is not None else (
+        "expand_idx", tuple(indices), vs_key
+    )
+    pts = _encoded_mask_stack(cps, kk, build, nmod)
+    p0, p1 = ctx.mul_plain_many_b(ct.c0, ct.c1, pts, nmod)
+    res = ctx.rescale2_many(jnp.concatenate([p0, p1]), nmod - 1)
+    E = len(indices)
+    out_scale = (
+        ct.scale
+        * ctx.params.scale
+        / ctx.basis.primes[nmod - 1]
+        / ctx.basis.primes[nmod - 2]
+    )
+    masked = [
+        C.Ciphertext(res[e], res[E + e], nmod - 2, out_scale) for e in range(E)
+    ]
+    return rotate_and_add_many(cps, masked, slots)
+
+
 def _mask_pt(cps, idx_mask: np.ndarray, nmod: int) -> C.Plaintext:
     return cps.ctx.encode(idx_mask, nmod)
 

@@ -80,6 +80,21 @@ class KSwitchKey:
 GALOIS_CONJ = -1  # sentinel for complex conjugation
 
 
+def _modsum_u32(x, q):
+    """Modular sum over the leading axis of x [B, ..., N] (entries < q <
+    2^26): chunked uint32 partial sums (32 x 2^26 < 2^32) with a remainder
+    after each stage.  B <= 1024."""
+    b = x.shape[0]
+    assert b <= 1024, b
+    pad = (-b) % 32
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+    x = jnp.sum(x.reshape((-1, 32) + x.shape[1:]), axis=1) % q
+    return jnp.sum(x, axis=0) % q
+
+
 def _ctxjit(*static_extra):
     """jit with `self` (a CkksContext, hashed by identity) static, plus the
     given extra static argnums.  Fuses each compound CKKS op (rescale,
@@ -501,6 +516,29 @@ class CkksContext:
             mul_mod_barrett(c1, p, t["q"], t["mu"]),
         )
 
+    @_ctxjit(4)
+    def mul_plain_many_b(self, c0, c1, pts, nmod: int):
+        """ONE ciphertext x B stacked plaintexts [B, nmod, N] -> B
+        unrescaled product pairs ([B, nmod, N] x2) in one kernel (the
+        batched mask path: 100+ one-hot masks per cholQR/Gram pass)."""
+        t = _sel(self.basis, tuple(range(nmod)))
+        q, mu = t["q"], t["mu"]
+        return (
+            mul_mod_barrett(c0[None], pts, q, mu),
+            mul_mod_barrett(c1[None], pts, q, mu),
+        )
+
+    @_ctxjit(4)
+    def mul_plain_pairs_sum(self, c0s, c1s, pts, nmod: int):
+        """sum_b ct_b * pt_b over B (ciphertext, plaintext) pairs in ONE
+        kernel: the batched mask-scatter-accumulate (replaces B mask calls
+        + B-1 adds).  Returns the unrescaled (c0, c1) sum mod q."""
+        t = _sel(self.basis, tuple(range(nmod)))
+        q, mu = t["q"], t["mu"]
+        p0 = mul_mod_barrett(c0s, pts, q, mu)
+        p1 = mul_mod_barrett(c1s, pts, q, mu)
+        return _modsum_u32(p0, q), _modsum_u32(p1, q)
+
     def mul_relin(self, a: Ciphertext, b: Ciphertext, rlk: KSwitchKey) -> Ciphertext:
         a, b, rows = self._match(a, b)
         c0, c1 = self._mul_relin_core(
@@ -539,6 +577,56 @@ class CkksContext:
             Ciphertext(c0[j], c1[j], nmod, aa.scale * b.scale)
             for j, b in enumerate(bsd)
         ]
+
+    def mul_relin_pairs(self, xs, ys, rlk: KSwitchKey):
+        """x_e * y_e elementwise over two equal-length ciphertext lists at a
+        common level: ONE fused kernel for all B pairwise products + batched
+        relinearization.  The cholQR/Gram hot path calls this once per pass
+        instead of ncols mul_relin_many calls of DIFFERENT batch sizes
+        (which forced ncols separate compiles, the round-4 PCA stall)."""
+        assert len(xs) == len(ys)
+        nmod = min(min(x.nmod for x in xs), min(y.nmod for y in ys))
+        xsd = [self.drop_to(x, nmod) for x in xs]
+        ysd = [self.drop_to(y, nmod) for y in ys]
+        ac0 = jnp.stack([x.c0 for x in xsd])
+        ac1 = jnp.stack([x.c1 for x in xsd])
+        bc0 = jnp.stack([y.c0 for y in ysd])
+        bc1 = jnp.stack([y.c1 for y in ysd])
+        c0, c1 = self._mul_relin_pairs_core(
+            ac0, ac1, bc0, bc1, rlk.d0, rlk.d1, nmod
+        )
+        return [
+            Ciphertext(c0[j], c1[j], nmod, xsd[j].scale * ysd[j].scale)
+            for j in range(len(xsd))
+        ]
+
+    @_ctxjit(7)
+    def _mul_relin_pairs_core(self, ac0s, ac1s, bc0s, bc1s, kd0, kd1, nmod: int):
+        t = _sel(self.basis, tuple(range(nmod)))
+        q, mu = t["q"], t["mu"]
+        d0 = mul_mod_barrett(ac0s, bc0s, q, mu)
+        d1 = add_mod(
+            mul_mod_barrett(ac0s, bc1s, q, mu),
+            mul_mod_barrett(ac1s, bc0s, q, mu),
+            q,
+        )
+        d2 = mul_mod_barrett(ac1s, bc1s, q, mu)
+        ext = self.decompose_ntt_b(d2, nmod)  # [B, nmod, next, N]
+        ridx = jnp.asarray(tuple(range(nmod)) + (self.sp_row,))
+        k0 = kd0[:nmod][:, ridx][None]
+        k1 = kd1[:nmod][:, ridx][None]
+        ext_rows = tuple(range(nmod)) + (self.sp_row,)
+        te = _sel(self.basis, ext_rows)
+        qe, me = te["q"][None, None], te["mu"][None, None]
+        p0 = jnp.sum(
+            mul_mod_barrett(ext, k0, qe, me), axis=1, dtype=jnp.uint32
+        )
+        p1 = jnp.sum(
+            mul_mod_barrett(ext, k1, qe, me), axis=1, dtype=jnp.uint32
+        )
+        k0s = self._moddown_b(self._reduce_u32(p0, ext_rows), nmod)
+        k1s = self._moddown_b(self._reduce_u32(p1, ext_rows), nmod)
+        return add_mod(d0, k0s, q), add_mod(d1, k1s, q)
 
     @_ctxjit(7)
     def _mul_relin_many_core(self, ac0, ac1, bc0s, bc1s, kd0, kd1, nmod: int):

@@ -101,6 +101,7 @@ def get_association_stats(
     use_cached_combined_q: bool = False,
     qr_method: str = "cholqr2",
     num_blocks_parallel: int = 1,
+    debug: bool = False,
 ):
     """Linear association statistics (gwas/assoc.go:443-884).  Returns
     (stats CipherVector, filter) at data parties; (None, None) at party 0."""
@@ -188,6 +189,15 @@ def get_association_stats(
         )[0]
         ynew0 = [cps.ctx.mul_const_int(ct, -1) for ct in ynew0]
         ynew0 = B.cpadd(cps, ynew0, y_pt)
+        if debug and cache_prefix:
+            # decrypt-dump the phase-3 intermediates under debug, the
+            # reference's main diagnosis tool (gwas/assoc.go:490-499):
+            # ynew is row-partitioned, so dump each party's slice
+            for p in range(1, mpc.net.nparty):
+                U.save_matrix_collective(
+                    mpc.net, cps, [ynew0], nrows_all[p], p,
+                    f"{cache_prefix}_dbg_ynew.party{p}.txt",
+                )
 
         # concat = [Q | y~]; after the combined QR the first column is the
         # normalized all-ones vector, so sx = sy = 0 (gwas/assoc.go:697-704)
@@ -301,6 +311,19 @@ def get_association_stats(
             mpc.net.send_int(num_ctx, 0)
             mpc.net.send_int(nsnps, 0)
 
+        if debug and cache_prefix:
+            # aggregated cross-party quantities: identical everywhere
+            # (gwas/assoc.go:846-855 sxy/sxx dumps)
+            nfilt = int(out_filter.sum())
+            U.save_matrix_collective(
+                mpc.net, cps, [sxy], nfilt, -1,
+                f"{cache_prefix}_dbg_sxy.txt",
+            )
+            U.save_matrix_collective(
+                mpc.net, cps, [varx], nfilt, -1,
+                f"{cache_prefix}_dbg_varx.txt",
+            )
+
         # vary = syy (sy = 0 with the all-ones covariate in Q)
         ysq = B.cmult(cps, ynew0, ynew0)
         syy_loc = B.inner_sum_all(cps, ysq)
@@ -318,6 +341,11 @@ def get_association_stats(
     stdinvx, stdinvy = compute_std_inv(mpc, cps, varx, vary, nsnps, out_filter)
 
     if pid > 0:
+        if debug and cache_prefix:
+            U.save_matrix_collective(
+                mpc.net, cps, [stdinvx], int(out_filter.sum()), -1,
+                f"{cache_prefix}_dbg_stdinvx.txt",
+            )
         stats = B.cmult(cps, sxy, stdinvx)
         stats = B.cmult_scalar(cps, stats, stdinvy)
         return stats, out_filter

@@ -255,35 +255,31 @@ def distributed_pca(
     # ---- Gram matrix Z = Q Q^T (gwas/pca.go:399-442)
     if pid > 0:
         nct = ((kp * kp) - 1) // slots + 1
-        # first-term adoption (NOT a czeros init): the masked inner products
-        # carry the rescale chain's drifted scale, and forcing them onto the
-        # preset scale would burn the band down to the modulus floor
-        zloc = [None] * nct
-        for i in range(kp):
-            # one batched relin-mult + one grouped rotation ladder for all
-            # pairs (i, j >= i)
-            prods = None
-            for t in range(len(Q[i])):
-                row = B.cmult_one_to_many(
-                    cps, Q[i][t], [Q[j][t] for j in range(i, kp)]
-                )
-                prods = row if prods is None else [
-                    cps.ctx.add(a_, b_) for a_, b_ in zip(prods, row)
-                ]
-            sums = B.rotate_and_add_many(cps, prods, slots)
-            for jj, iprod in enumerate(sums):
-                j = i + jj
-                for idx in ([i * kp + j, j * kp + i] if i != j else [i * kp + j]):
-                    ctid, slotid = idx // slots, idx % slots
-                    # iprod holds the value in every slot; mask selects one
-                    # with 1/n folded in (no level left for a CMultConst:
-                    # inner_prod already ran down the rotation band)
-                    masked = B.mask(cps, iprod, slotid, False, value=inv_n)
-                    zloc[ctid] = (
-                        masked if zloc[ctid] is None
-                        else cps.ctx.add(zloc[ctid], masked)
-                    )
-        assert all(ct is not None for ct in zloc)
+        # ONE batched relin-mult for all kp(kp+1)/2 pairs + one shared
+        # rotation ladder + one fused mask-scatter per packed output ct
+        # (fixed batch shapes: one compile, not kp)
+        gpairs = [(i, j) for i in range(kp) for j in range(i, kp)]
+        prods = None
+        for t in range(len(Q[0])):
+            row = B.cmult_pairs(
+                cps,
+                [Q[i][t] for (i, j) in gpairs],
+                [Q[j][t] for (i, j) in gpairs],
+            )
+            prods = (
+                row
+                if prods is None
+                else [cps.ctx.add(a_, b_) for a_, b_ in zip(prods, row)]
+            )
+        sums = B.rotate_and_add_many(cps, prods, slots)
+        slot_lists = [
+            [i * kp + j] if i == j else [i * kp + j, j * kp + i]
+            for (i, j) in gpairs
+        ]
+        zloc = B.mask_scatter_sum(
+            cps, sums, slot_lists, nct, value=inv_n,
+            cache_key=("pca_gram", kp),
+        )
         z = mhe.aggregate_cvec(mpc.net, cps, zloc)
         z = mhe.bootstrap_vec(mpc.net, cps, z, -1)
     else:
@@ -303,18 +299,33 @@ def distributed_pca(
     if pid == 0:
         return [None] * npc
     n_ct_ind = len(Q[0])
-    Qpc = B.czero_mat(cps, n_ct_ind, npc)
+    s_ref = max(Q[c][0].scale for c in range(kp))
+    Qpc = []
     for r in range(npc):
-        for c in range(kp):
-            ctid, slotid = c // slots, c % slots
-            elem = B.mask(cps, v_cm[r][ctid], slotid, False)
-            elem = B.rotate_and_add(cps, elem, slots)
-            cv = B.cmult_scalar(cps, Q[c], elem)
-            Qpc[r] = [
-                cps.ctx.add(
-                    cps.ctx.drop_to(q, min(q.nmod, v.nmod)),
-                    cps.ctx.drop_to(v, min(q.nmod, v.nmod)),
+        # batched: one one-hot multiply + shared rotation ladder expands all
+        # kp eigenvector entries (with per-column drift compensation folded
+        # into the one-hot values); one pairwise mult + segment-sum per row
+        elems = []
+        for tcid, vct in enumerate(v_cm[r]):
+            lo = tcid * slots
+            n_here = min(slots, kp - lo)
+            elems.extend(
+                B.expand_slots_many(
+                    cps, vct, list(range(n_here)),
+                    cache_key=("pca_v", kp, tcid),
+                    value_scales=[
+                        s_ref / Q[lo + c][0].scale for c in range(n_here)
+                    ],
                 )
-                for q, v in zip(Qpc[r], cv)
-            ]
+            )
+        row = []
+        for t in range(n_ct_ind):
+            col = B.cmult_pairs(
+                cps, [Q[c][t] for c in range(kp)], elems
+            )
+            out_scale = col[0].scale * s_ref / Q[0][t].scale
+            row.append(
+                B.add_group_mod(cps, col, [0] * kp, 1, out_scale=out_scale)[0]
+            )
+        Qpc.append(row)
     return Qpc

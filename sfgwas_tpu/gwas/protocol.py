@@ -490,6 +490,7 @@ class ProtocolInfo:
             use_cached_combined_q=cfg.use_cached_combined_q,
             qr_method=cfg.qr_method,
             num_blocks_parallel=cfg.assoc_num_blocks_parallel,
+            debug=cfg.debug,
         )
 
         if pid > 0:

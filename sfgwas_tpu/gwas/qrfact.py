@@ -282,37 +282,32 @@ def net_cholqr_enc(
             with prof.span("cholqr_gram"):
                 A = mhe.bootstrap_mat_all(mpc.net, cps, A, target_nmod=qr_band)
                 nct_g = (ncols * ncols - 1) // slots + 1
-                # accumulate with first-term adoption: a czeros init would
-                # impose the preset scale on the masked products (whose
-                # scale has drifted through the rescale chain) and the
-                # forced exact-align would burn the band down to the floor
-                zloc = [None] * nct_g
-                for i in range(ncols):
-                    prods = None
-                    for t in range(len(A[i])):
-                        row = B.cmult_one_to_many(
-                            cps, A[i][t], [A[j][t] for j in range(i, ncols)]
-                        )
-                        if prods is None:
-                            prods = row
-                        else:
-                            prods = [
-                                cps.ctx.add(a_, b_) for a_, b_ in zip(prods, row)
-                            ]
-                    sums = B.rotate_and_add_many(cps, prods, slots)
-                    for jj, s in enumerate(sums):
-                        j = i + jj
-                        for idx in {i * ncols + j, j * ncols + i}:
-                            ctid, slotid = divmod(idx, slots)
-                            masked = B.mask(cps, s, slotid, False, value=inv_n)
-                            zloc[ctid] = (
-                                masked
-                                if zloc[ctid] is None
-                                else cps.ctx.add(zloc[ctid], masked)
-                            )
-                # every packed ct receives at least one mask (nct_g covers
-                # exactly the k*k index range)
-                assert all(ct is not None for ct in zloc)
+                # ONE batched relin-mult for ALL k(k+1)/2 pairs + one shared
+                # rotation ladder + one fused mask-scatter per packed output
+                # ct.  The per-column variant compiled a fresh kernel for
+                # every batch size ncols-i and dispatched ~3k small mask ops
+                # per pass — the round-4 full-PCA compile/dispatch stall.
+                prods = None
+                for t in range(len(A[0])):
+                    row = B.cmult_pairs(
+                        cps,
+                        [A[i][t] for (i, j) in pairs],
+                        [A[j][t] for (i, j) in pairs],
+                    )
+                    prods = (
+                        row
+                        if prods is None
+                        else [cps.ctx.add(a_, b_) for a_, b_ in zip(prods, row)]
+                    )
+                sums = B.rotate_and_add_many(cps, prods, slots)
+                slot_lists = [
+                    [i * ncols + j] if i == j else [i * ncols + j, j * ncols + i]
+                    for (i, j) in pairs
+                ]
+                zloc = B.mask_scatter_sum(
+                    cps, sums, slot_lists, nct_g, value=inv_n,
+                    cache_key=("cholqr_gram", ncols),
+                )
                 z = mhe.aggregate_cvec(mpc.net, cps, zloc)
                 z = mhe.bootstrap_vec(mpc.net, cps, z, -1)
         else:
@@ -323,38 +318,58 @@ def net_cholqr_enc(
         with prof.span("cholqr_ss"):
             W = linalg.chol_whiten(mpc, G)
 
-        # SS->HE: each whitener entry replicated across all slots, so the
-        # products below need no mask/rotate ladders (one scalar ct each)
+        # SS->HE: ONE packed ciphertext carries all k(k+1)/2 whitener
+        # entries (one host encode instead of one per entry); a batched
+        # one-hot multiply + shared rotation ladder replicates each entry
+        # across slots for the scalar products below
         if pid > 0:
-            ent = np.stack([np.asarray(W[i, j]) for (i, j) in pairs])
-            rep = np.ascontiguousarray(
-                np.broadcast_to(ent[:, None, :], (len(pairs), slots) + ent.shape[1:])
-            )
+            ent = np.stack([np.asarray(W[i, j]) for (i, j) in pairs])[None]
         else:
-            rep = ring.zeros((len(pairs), 1))
-        w_cm = ss_he.ss_to_cmat(mpc, cps, rep)
+            ent = ring.zeros((1, len(pairs)))
+        w_cm = ss_he.ss_to_cmat(mpc, cps, ent)
 
         if pid > 0:
             with prof.span("cholqr_recombine"):
-                w_ct = {}
-                for e, (i, j) in enumerate(pairs):
-                    w_ct[(i, j)] = cps.ctx.drop_to(w_cm[e][0], A[i][0].nmod)
-                newA = [None] * ncols
-                for i in range(ncols):
-                    js = [j for j in range(i, ncols)]
-                    for t in range(len(A[i])):
-                        col = B.cmult_one_to_many(
-                            cps, A[i][t], [w_ct[(i, j)] for j in js]
+                # drift compensation: column scales can differ by a few
+                # permille when the band sits at the top (no bootstrap reset
+                # headroom).  Fold s_ref/s_i into pair (i, j)'s expanded
+                # whitener entry so every product lands on s_ref exactly.
+                s_ref = max(A[i][0].scale for i in range(ncols))
+                w_list = []
+                for tcid, wct in enumerate(w_cm[0]):
+                    lo = tcid * slots
+                    n_here = min(slots, len(pairs) - lo)
+                    w_list.extend(
+                        B.expand_slots_many(
+                            cps,
+                            wct,
+                            list(range(n_here)),
+                            cache_key=("cholqr_w", len(pairs), tcid),
+                            value_scales=[
+                                s_ref / A[pairs[lo + e][0]][0].scale
+                                for e in range(n_here)
+                            ],
                         )
-                        for jj, j in enumerate(js):
-                            if newA[j] is None:
-                                newA[j] = [None] * len(A[i])
-                            prev = newA[j][t]
-                            newA[j][t] = (
-                                col[jj]
-                                if prev is None
-                                else cps.ctx.add(prev, col[jj])
-                            )
+                    )
+                # cmult_pairs min-aligns levels (the expanded w sits one
+                # mask level below the top; A re-bootstraps next pass)
+                w_ct = {pr: w_list[e] for e, pr in enumerate(pairs)}
+                newA = [None] * ncols
+                for t in range(len(A[0])):
+                    col = B.cmult_pairs(
+                        cps,
+                        [A[i][t] for (i, j) in pairs],
+                        [w_ct[(i, j)] for (i, j) in pairs],
+                    )
+                    out_scale = col[0].scale * s_ref / A[pairs[0][0]][t].scale
+                    summed = B.add_group_mod(
+                        cps, col, [j for (i, j) in pairs], ncols,
+                        out_scale=out_scale,
+                    )
+                    for j in range(ncols):
+                        if newA[j] is None:
+                            newA[j] = [None] * len(A[0])
+                        newA[j][t] = summed[j]
                 A = newA
 
     if pid == 0:

@@ -254,11 +254,36 @@ def _ntt4_jit(x, plan: Ntt4Plan, inverse: bool):
     return plan._raw_inv(x[:, None, plan.ipi])[:, 0, :]
 
 
+_CHUNK = int(__import__("os").environ.get("SFGWAS_NTT4_CHUNK", "32"))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _ntt4_b_jit(x, plan: Ntt4Plan, inverse: bool):
+    L, Bn, n = x.shape
+    if _CHUNK <= 0 or Bn <= _CHUNK:
+        if not inverse:
+            return plan._raw_fwd(x)[..., plan.pi]
+        return plan._raw_inv(x[..., plan.ipi])
+    # chunk the batch through lax.map: the digit-plane matmuls materialize
+    # [L, 4*128, Bn*128]-int8 operands and [L, 128, Bn*128]-int32 products —
+    # at Bn in the hundreds (the fused keyswitch epilogues) several ~1.7 GB
+    # temps coexist and the compiler's remat OOMs the chip (BENCH_r04).
+    # Per-chunk temps are Bn/G of that; MXU efficiency is kept by
+    # m = CHUNK*128 >= 4096 columns.
+    pad = (-Bn) % _CHUNK
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((L, pad, n), x.dtype)], axis=1
+        )
+    g = (Bn + pad) // _CHUNK
+    xc = jnp.swapaxes(x.reshape(L, g, _CHUNK, n), 0, 1)  # [G, L, CH, n]
+
     if not inverse:
-        return plan._raw_fwd(x)[..., plan.pi]
-    return plan._raw_inv(x[..., plan.ipi])
+        out = jax.lax.map(lambda c: plan._raw_fwd(c)[..., plan.pi], xc)
+    else:
+        out = jax.lax.map(lambda c: plan._raw_inv(c[..., plan.ipi]), xc)
+    out = jnp.swapaxes(out, 0, 1).reshape(L, Bn + pad, n)
+    return out[:, :Bn]
 
 
 def ntt4(x, basis: rns.RnsBasis, rows, inverse: bool = False):

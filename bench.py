@@ -135,13 +135,13 @@ def measure_and_print():
 
 
 _ATTEMPTS = [
-    # (mode label, extra env)
-    ("fused", {}),
-    # the four-step MXU NTT materializes [nmod*giants, 128, 128]-factored
-    # temps (~1.7 GB each) inside the fused epilogue; when the compiler
-    # remats them the program OOMs (round 4/5).  Butterfly NTT + fused
-    # rotation kernels measured 6.016 GMAC/s (r5) — same as the best r3 run
+    # (mode label, extra env) — ordered by measured round-5 throughput
+    # fused rotation kernels + butterfly NTT: 6.016 GMAC/s (r5, = best r3)
     ("fused_bfly", {"SFGWAS_NTT4": "0"}),
+    # fused + chunked four-step MXU NTT: 5.63 GMAC/s.  Unchunked, the MXU
+    # NTT materialized [nmod*giants, 128, 128]-factored ~1.7 GB temps in
+    # the fused epilogue and the compiler's remat OOM'd (BENCH_r04)
+    ("fused", {}),
     # degraded remote compiler (axon AOT helper rejecting big fused
     # programs, round 4): split rotation kernels + butterfly NTT stay
     # under the compiler's size threshold (dispatch-bound: ~4.1 GMAC/s)

@@ -482,15 +482,41 @@ def ones_rescale(cps, ct: C.Ciphertext) -> C.Ciphertext:
     return cps.ctx.rescale(cps.ctx.mul_plain(ct, _mask_pt(cps, m, ct.nmod)))
 
 
-def mask_trunc(cps, ct: C.Ciphertext, n_keep: int, scale_const: float = 1.0) -> C.Ciphertext:
+def mask_trunc(
+    cps,
+    ct: C.Ciphertext,
+    n_keep: int,
+    scale_const: float = 1.0,
+    target_scale: Optional[float] = None,
+) -> C.Ciphertext:
     """Keep the first n_keep slots, optionally folding a scalar constant
     into the mask plaintext (saves a level vs a separate CMultConst)
-    (crypto/basics.go:110-127)."""
-    if n_keep == cps.slots and scale_const == 1.0:
+    (crypto/basics.go:110-127).
+
+    target_scale: exact output-scale retarget at no extra level or value
+    change — the drift ratio folds into the mask plaintext values, and the
+    result is DECLARED at target_scale (same mechanism as the bootstrap's
+    hard reset; rounding error ~2^-50 from the constant).  Used by the QR
+    outputs so every column lands at the same scale as a freshly-encoded
+    chain regardless of whether the band had bootstrap-reset headroom."""
+    if n_keep == cps.slots and scale_const == 1.0 and target_scale is None:
         return ct
+    ctx = cps.ctx
+    nmod = ct.nmod
+    natural = (
+        ct.scale
+        * ctx.params.scale
+        / ctx.basis.primes[nmod - 1]
+        / ctx.basis.primes[nmod - 2]
+    )
+    gamma = 1.0 if target_scale is None else target_scale / natural
+    assert 0.5 < gamma < 2.0, (gamma, ct.scale, target_scale)
     m = np.zeros(cps.slots)
-    m[:n_keep] = scale_const
-    return cps.ctx.rescale(cps.ctx.mul_plain(ct, _mask_pt(cps, m, ct.nmod)))
+    m[:n_keep] = scale_const * gamma
+    out = ctx.rescale(ctx.mul_plain(ct, _mask_pt(cps, m, nmod)))
+    if target_scale is not None:
+        out = C.Ciphertext(out.c0, out.c1, out.nmod, target_scale)
+    return out
 
 
 def cmult_with_const(cps, X: CipherVector, Y: CipherVector, c: float) -> CipherVector:

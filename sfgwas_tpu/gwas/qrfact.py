@@ -379,7 +379,18 @@ def net_cholqr_enc(
     for i in range(len(A)):
         for j2 in range(len(A[i])):
             nk = slots if j2 < len(A[i]) - 1 else ((nrows - 1) % slots) + 1
-            A[i][j2] = B.mask_trunc(cps, A[i][j2], nk)
+            # retarget every column to EXACTLY the fresh-encode chain's
+            # scale (Delta^2 / top pair): downstream code mixes QR outputs
+            # with freshly encoded columns (the combined-Q ones column),
+            # and when the band has no bootstrap-reset headroom the
+            # recombine chain's drift would otherwise split the scales
+            ct = A[i][j2]
+            tgt = (
+                cps.ctx.params.scale ** 2
+                / cps.ctx.basis.primes[ct.nmod - 1]
+                / cps.ctx.basis.primes[ct.nmod - 2]
+            )
+            A[i][j2] = B.mask_trunc(cps, ct, nk, target_scale=tgt)
     return A
 
 

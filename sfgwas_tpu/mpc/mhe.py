@@ -745,20 +745,24 @@ def collective_bootstrap_many(
             agg = net.hub_gather_sum({"h1": h1, "h2": h2}, add_fn)
 
         def finalize(a):
-            # masked decryption, exact integer recode to the target modulus
+            # masked decryption, exact recode to the target modulus.  The
+            # masked value is bounded by the mask bound (2^bound_bits + the
+            # plaintext, << Q_l/4), so the device-side float-assisted basis
+            # extension is exact — no host big-int lift, and no device->host
+            # readback (2.5 MB/s through the axon tunnel; this was 26 s per
+            # PCA iteration in the round-5 cholQR profile)
             hh1, hh2 = jnp.asarray(a["h1"]), jnp.asarray(a["h2"])
             mu = add_mod(c0s, hh1, t_l["q"])
             mu_coeff = rns.ntt_b(jnp.swapaxes(mu, 0, 1), ctx.basis, rows, True)
-            with prof.span("bs_crt_pull"):
-                mu_np = np.asarray(mu_coeff).reshape(nmod, B * ctx.n)
             with prof.span("bs_crt_lift"):
-                lifted = rns.crt_lift_centered(
-                    mu_np,
-                    params.q_primes[:nmod],
-                    params.q_primes[:lift_tgt],
+                lifted = rns.crt_lift_centered_dev(
+                    mu_coeff.reshape(nmod, B * ctx.n),
+                    ctx.basis,
+                    tuple(range(nmod)),
+                    tuple(range(lift_tgt)),
                 ).reshape(lift_tgt, B, ctx.n)
             mu_full = jnp.swapaxes(
-                rns.ntt_b(jnp.asarray(lifted), ctx.basis, tgt_rows), 0, 1
+                rns.ntt_b(lifted, ctx.basis, tgt_rows), 0, 1
             )
             return add_mod(mu_full, hh2, t_f["q"])
 

@@ -210,10 +210,11 @@ def _cmat_to_ss(
                 f"({ctx.params.q_prod(nmod).bit_length()} bits) < need "
                 f"{need_bits + 1} (scale={ct.scale:.3e}, frac={f})"
             )
-            w = rns.words_sample_centered(cps.enc_rng, b, slots)
-            mu_ints = _words_to_ints(w)
-            mask_poly = ctx.encoder.encode_big(mu_ints, enc_scale, nmod)
-            mask_poly = ntt(jnp.asarray(mask_poly), ctx.basis, rows)
+            with prof.span("he2ss_mask_enc"):
+                w = rns.words_sample_centered(cps.enc_rng, b, slots)
+                mu_ints = _words_to_ints(w)
+                mask_poly = ctx.encoder.encode_big(mu_ints, enc_scale, nmod)
+                mask_poly = ntt(jnp.asarray(mask_poly), ctx.basis, rows)
             e = ctx.small_to_rns(ctx.sample_gauss(cps.enc_rng, 6.36), rows)
             share = add_mod(
                 add_mod(
@@ -229,8 +230,11 @@ def _cmat_to_ss(
             mu_digits = _words_to_ring_digits(w, ring)
             if mpc.pid == mpc.hub_pid:
                 coeff = ntt(m, ctx.basis, rows, inverse=True)
-                y = ctx.encoder.decode_big(np.asarray(coeff), nmod, enc_scale)
-                y_digits = ring.from_ints(y[:slots])
+                with prof.span("he2ss_pull"):
+                    coeff_np = np.asarray(coeff)
+                with prof.span("he2ss_decode"):
+                    y = ctx.encoder.decode_big(coeff_np, nmod, enc_scale)
+                    y_digits = ring.from_ints(y[:slots])
                 my = ring.sub(y_digits, mu_digits)
             else:
                 my = ring.neg(mu_digits)

@@ -516,6 +516,52 @@ def crt_lift_centered(res: np.ndarray, primes_src, dst_primes) -> np.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def crt_lift_centered_dev(x, basis, src_rows, dst_rows):
+    """Device-side centered CRT basis extension for PROTOCOL-BOUNDED values.
+
+    x: [l, M] uint32 residues mod the src_rows primes of a centered value v
+    with |v| < Q_src/4 (the collective-bootstrap mask bound is Q_l/8-ish,
+    mhe.collective_bootstrap_many).  Returns [len(dst_rows), M] residues of
+    the SAME centered value mod the dst_rows primes.
+
+    Fast basis extension (Halevi-Polyakov-Shoup): y_i = x_i*(Q/q_i)^-1 mod
+    q_i; v = sum_i y_i*(Q/q_i) - k*Q with k = round(sum_i y_i/q_i).  The
+    rounding is computed in f32: its error (< l * 2^-23) is far inside the
+    1/4 margin the boundedness guarantees, so the result is EXACT — unlike
+    the general-input case, where frac ~ uniform and float rounding would
+    misclassify near half-integers.  Replaces the host big-int lift + the
+    device->host readback (~2.5 MB/s through the axon tunnel; the round-5
+    cholQR profile spent 26 s/iteration in bs_crt_pull + bs_crt_lift)."""
+    l = len(src_rows)
+    primes = [int(basis.primes[r]) for r in src_rows]
+    Q = 1
+    for q in primes:
+        Q *= q
+    t_src = _sel(basis, tuple(src_rows))
+    w = np.array(
+        [pow(Q // q, -1, q) for q in primes], dtype=np.uint32
+    )[:, None]
+    y = mul_mod_barrett(x, jnp.asarray(w), t_src["q"], t_src["mu"])  # [l, M]
+    inv_q = jnp.asarray(np.array([1.0 / q for q in primes], np.float32))
+    k = jnp.round(jnp.sum(y.astype(jnp.float32) * inv_q[:, None], axis=0))
+    k = k.astype(jnp.uint32)  # in [0, l]
+
+    outs = []
+    for r in dst_rows:
+        p = int(basis.primes[r])
+        qd = jnp.asarray(np.uint32(p))[None]
+        mud = jnp.asarray(
+            np.uint32((1 << 52) // p)
+        )[None]
+        qi_mod = np.array([(Q // q) % p for q in primes], np.uint32)[:, None]
+        terms = mul_mod_barrett(y, jnp.asarray(qi_mod), qd, mud)  # [l, M] < p
+        acc = jnp.sum(terms, axis=0) % qd  # l*p < 2^31: single u32 sum
+        kq = mul_mod_barrett(k[None], jnp.asarray(np.uint32(Q % p))[None], qd, mud)
+        outs.append(sub_mod(acc[None], kq, qd)[0])
+    return jnp.stack(outs)
+
+
 def _word_carry(vw: np.ndarray) -> np.ndarray:
     mask = (1 << _WB) - 1
     for k in range(vw.shape[0] - 1):

@@ -162,3 +162,29 @@ def test_add_plain_aligns_drifted_scale(ctx, keys, rng):
         f"add_plain misdecoded the plaintext by the scale ratio "
         f"(drift {drift:.2e}, err {err:.2e})"
     )
+
+
+def test_crt_lift_centered_dev_matches_host(rng):
+    """Device float-assisted basis extension vs the host big-int lift, on
+    protocol-bounded inputs (|v| < Q/8, the collective-bootstrap mask
+    bound).  Boundedness is what makes the f32 rounding exact."""
+    import jax.numpy as jnp
+
+    basis = get_params("TEST8").basis
+    l, tgt = 4, 7
+    primes = [int(basis.primes[r]) for r in range(l)]
+    Q = 1
+    for p in primes:
+        Q *= p
+    M = 1000
+    vals = [int(rng.integers(0, 1 << 62)) % (Q // 4) - Q // 8 for _ in range(M)]
+    x = np.stack([np.array([v % p for v in vals], np.uint32) for p in primes])
+    want = rns.crt_lift_centered(
+        x.astype(np.int64), primes, [int(basis.primes[r]) for r in range(tgt)]
+    )
+    got = np.asarray(
+        rns.crt_lift_centered_dev(
+            jnp.asarray(x), basis, tuple(range(l)), tuple(range(tgt))
+        )
+    )
+    assert np.array_equal(want, got)

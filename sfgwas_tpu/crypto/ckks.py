@@ -414,6 +414,11 @@ class CkksContext:
     # fallback when no level is left to align with: tolerate only drift-
     # sized mismatch (paired primes keep per-level drift ~1e-3)
     _SCALE_TOL = 2.5e-2
+    # SFGWAS_STRICT_SCALE=1 (debug builds): the counted tolerance
+    # acceptances above _SCALE_EQ become hard failures, so a NEW drifted
+    # path fails loudly at its first add instead of shifting statistics by
+    # ~maf (the round-4 ynew DC-bias class, DESIGN.md case study)
+    _STRICT = bool(os.environ.get("SFGWAS_STRICT_SCALE"))
 
     def _align_scales(self, a: Ciphertext, b: Ciphertext):
         """Bring two ciphertexts to exactly equal scales.  Unequal-depth
@@ -427,7 +432,8 @@ class CkksContext:
             # no level to burn: paired primes bound the resulting value
             # error to the drift size.  Counted and surfaced (never silent):
             # a hot path hitting this repeatedly is a level-budget bug.
-            assert abs(a.scale / b.scale - 1) < self._SCALE_TOL, (
+            tol = self._SCALE_EQ if self._STRICT else self._SCALE_TOL
+            assert abs(a.scale / b.scale - 1) < tol, (
                 a.scale,
                 b.scale,
             )
@@ -489,7 +495,8 @@ class CkksContext:
             if min(a.nmod, pt.nmod) >= self.params.base_nmod + 2:
                 a = self.rescale(self.mul_const_to(a, 1.0, pt.scale))
             else:
-                assert abs(a.scale / pt.scale - 1) < self._SCALE_TOL, (
+                tol = self._SCALE_EQ if self._STRICT else self._SCALE_TOL
+                assert abs(a.scale / pt.scale - 1) < tol, (
                     a.scale,
                     pt.scale,
                 )

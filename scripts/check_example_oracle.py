@@ -74,12 +74,20 @@ def main():
     n = G.shape[0]
     cols = [np.ones(n)] + [C[:, j] for j in range(C.shape[1])]
     if args.qpc and os.path.exists(args.qpc):
-        Qpc = np.loadtxt(args.qpc)
-        if Qpc.ndim == 1:
-            Qpc = Qpc[:, None]
-        # protocol caches per-party rows; party1 file holds pooled rows
+        # per-party Qpc caches: cache/partyP/Qpc.txt holds [npc, n_party_P]
+        # CSV rows (save_matrix_collective writes each party's own slice);
+        # stack the parties' individual axes in pid order
+        parts = []
+        d1 = os.path.dirname(args.qpc)
+        base = os.path.dirname(d1)
+        name = os.path.basename(args.qpc)
+        for pid in (1, 2):
+            f = os.path.join(base, f"party{pid}", name)
+            parts.append(np.loadtxt(f, delimiter=",", ndmin=2))
+        Qpc = np.concatenate(parts, axis=1).T  # [n_pooled, npc]
+        assert Qpc.shape[0] == n, (Qpc.shape, n)
         cols += [Qpc[:, j] for j in range(Qpc.shape[1])]
-        print(f"including {Qpc.shape[1]} PC columns from {args.qpc}")
+        print(f"including {Qpc.shape[1]} PC columns from {base}/party*/{name}")
     Q, _ = np.linalg.qr(np.stack(cols, axis=1))
 
     if args.logistic:

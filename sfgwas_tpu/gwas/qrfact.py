@@ -53,6 +53,9 @@ def net_dqr_enc(
     # floor (~130 bits).
     qr_band = min(cps.ctx.nq, cps.rot_nmod + 2)
     if pid > 0:
+        # see net_cholqr_enc: band-clamp first so the refresh target stays
+        # at qr_band and its scale reset applies to every column
+        A = [[cps.ctx.drop_to(ct, qr_band) for ct in col] for col in A]
         A = mhe.bootstrap_mat_all(mpc.net, cps, A, target_nmod=qr_band)
 
     for col in range(ncols):
@@ -275,6 +278,14 @@ def net_cholqr_enc(
     inv_n = 1.0 / tot_n
     qr_band = min(cps.ctx.nq, cps.rot_nmod + 2) if cps else 0
     pairs = [(i, j) for i in range(ncols) for j in range(i, ncols)]
+
+    # clamp inputs into the band FIRST (level drops are lossless): fresh
+    # encryptions arrive at the chain top, and a top-level ct in the batch
+    # pushes the refresh target to nq where there is no reset headroom —
+    # drifted companion columns (the PCA extraction chain runs ~10% off
+    # preset) would then enter the Gram unreset (r5 full-PCA phase-3 crash)
+    if pid > 0:
+        A = [[cps.ctx.drop_to(ct, qr_band) for ct in col] for col in A]
 
     for p in range(passes):
         log(f"pid{pid} cholQR pass {p + 1}/{passes} ({ncols} cols)")

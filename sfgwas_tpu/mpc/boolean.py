@@ -160,17 +160,23 @@ def suffix_all_zero(mpc, x_bits, num_bits):
 
 def bit2a(mpc, bits_gf2):
     """Convert GF(2) shares of bits to field shares of the same bits
-    (the rConv trick of mpc/mpc.go:1811-1830).  bits: [n] -> [n, nlimb]."""
+    (the rConv trick of mpc/mpc.go:1811-1830).  bits: [n] -> [n, nlimb].
+
+    Stays in int32 end-to-end: canonical digits are < 2^8 and the +-1 sign
+    flip keeps |values| < 2^8, so the int64 widening this used to do only
+    tripled the [n, nlimb] temp traffic (the normalizer calls this at
+    n = num_snps * k/2 — ~3.7M rows at example scale, where fresh host
+    pages fault in at a few hundred MB/s)."""
     ring = mpc.ring
     n = bits_gf2.shape[0]
     r_field, r_bits = mpc.share_random_bits(ring, GF2, n, 1, 1, True)
     masked = GF2.add(bits_gf2, r_bits[:, 0])
     v = mpc.reveal_sym(masked, GF2)
-    v = np.asarray(v, np.int64)  # public bits (garbage at pid 0)
-    sign = 1 - 2 * v  # +-1
-    out = ring.reduce(np.asarray(r_field, np.int64) * sign[:, None])
+    v = np.asarray(v, np.int32)  # public bits (garbage at pid 0)
+    sign = np.int32(1) - np.int32(2) * v  # +-1
+    out = ring.reduce(np.asarray(r_field, np.int32) * sign[:, None])
     if mpc.pid == mpc.hub_pid:
-        out = np.asarray(out, np.int64)
+        out = np.asarray(out, np.int32)
         out[..., 0] += v
         out = ring.reduce(out)
     return out

@@ -747,14 +747,21 @@ class Ring:
         _host_canon's four carry passes -- this is the Beaver-mask hot path)."""
         shape = tuple(shape)
         count = int(np.prod(shape, dtype=np.int64)) * self.nlimb if shape else self.nlimb
-        raw = (
-            np.frombuffer(rng.bytes(count), np.uint8)
-            .reshape(shape + (self.nlimb,))
-            .astype(np.int64)
+        raw8 = np.frombuffer(rng.bytes(count), np.uint8).reshape(
+            shape + (self.nlimb,)
         )
         if self.kind != "prime":
+            raw = raw8.astype(np.int32)
             raw[..., -1] &= self.top_mask
-            return raw.astype(np.int32)
+            return raw
+        if (1 << (8 * self.nlimb)) - self.modulus < (1 << 32):
+            # p = 2^{8L} - delta with tiny delta (p256 = 2^256 - 189): a raw
+            # byte draw lands in [p, 2^{8L}) with probability delta/2^{8L}
+            # ~ 2^-248 — statistically unreachable, so skip the
+            # canonicalizing subtract (this is the Beaver-mask hot path:
+            # the int64 widen + reduce tripled its memory traffic)
+            return raw8.astype(np.int32)
+        raw = raw8.astype(np.int64)
         if self._nlib is not None:
             # raw < 2^{8L} < 2p: reduce == the single conditional subtract
             return self.np_reduce(raw)

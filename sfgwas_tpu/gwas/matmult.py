@@ -47,6 +47,14 @@ from ..crypto.params import MM_LEVELS
 # staged per call); one chunk is a run of whole giant groups of one block
 MM_CHUNK_BYTES = int(os.environ.get("SFGWAS_MM_CHUNK_BYTES", 256 * 1024 * 1024))
 
+
+def _mm_dense() -> bool:
+    """Giant-aligned MAC chunks: one (block-col, giant) segment per chunk, so
+    the per-giant reduction is a plain lazy-u32 sum instead of a segment_sum
+    (XLA's sorted segment_sum measures 4.4 ms per [91, 8, 7, 16384] call at
+    PN14 -- essentially the MAC stage's whole budget, BASELINE.md roofline)."""
+    return os.environ.get("SFGWAS_MM_DENSE", "1") == "1"
+
 # pipeline-wide device set for within-party chip sharding: when set (config
 # shard_matmult=true at protocol init), EVERY mat_mult_cached call without an
 # explicit devices= routes its MAC chunks over these chips (SURVEY.md §2.9)
@@ -490,6 +498,56 @@ def _mac_scan_b(ACC0, ACC1, R0, R1, polys, idxm, bidxm, seg2m, sgm, q, mu,
     return ACC0, ACC1
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nsub",), donate_argnums=(0, 1)
+)
+def _mac_scan_dense_b(ACC0, ACC1, R0, R1, polys, idxm, bidxm, sgv, q, mu,
+                      m32, nsub):
+    """Dense variant of _mac_scan_b: every chunk covers exactly ONE
+    (block-col, giant) segment, so the per-giant reduction is a plain
+    lazy-u32 sum over the chunk axis (sub-split by nsub to stay under the
+    max_lazy exactness bound) and the scatter is one dynamic-index
+    accumulate per chunk.  XLA's sorted segment_sum -- the reduction this
+    replaces -- measured 4.4 ms per [91, 8, 7, 16384] call at PN14, ~40x
+    the cost of the same-shape add (BASELINE.md roofline); this path keeps
+    only adds.  Padding entries index the all-zero hoisted-rotation row
+    R[nb_pad], so their products vanish without a dump segment."""
+
+    def red(x):
+        qhat = _mulhi32(x, m32)
+        r = x - qhat * q
+        r = jnp.where(r >= q, r - q, r)
+        return jnp.where(r >= q, r - q, r)
+
+    def body(carry, x):
+        A0, A1 = carry
+        idx, bidx, sg = x
+        P = polys[idx][:, None]  # [K, 1, nmod, N] broadcast over rows
+
+        def one(R):
+            p = mul_mod_barrett(R[bidx], P, q, mu)
+            if nsub > 1:
+                a = jnp.sum(
+                    p.reshape(nsub, -1, *p.shape[1:]), axis=1,
+                    dtype=jnp.uint32,
+                )
+                a = red(a)
+                a = jnp.sum(a, axis=0, dtype=jnp.uint32)
+            else:
+                a = jnp.sum(p, axis=0, dtype=jnp.uint32)
+            return red(a)
+
+        a0, a1 = one(R0), one(R1)
+        A0 = A0.at[sg].set(add_mod(A0[sg], a0, q))
+        A1 = A1.at[sg].set(add_mod(A1[sg], a1, q))
+        return (A0, A1), None
+
+    (ACC0, ACC1), _ = jax.lax.scan(
+        body, (ACC0, ACC1), (idxm, bidxm, sgv)
+    )
+    return ACC0, ACC1
+
+
 @functools.partial(jax.jit, static_argnames=("nbc",))
 def _combine_rotated(r0, r1, bj_ids, q, m32, nbc):
     """Sum the rotated giant-group ciphertexts per output block column:
@@ -501,6 +559,12 @@ def _combine_rotated(r0, r1, bj_ids, q, m32, nbc):
         r = jnp.where(r >= q, r - q, r)
         return jnp.where(r >= q, r - q, r)
 
+    if nbc == 1:  # single block column (the PN14 production shape): the
+        # grouped sum is a plain lazy-u32 reduction, no scatter
+        return (
+            red(jnp.sum(r0, axis=0, dtype=jnp.uint32))[None],
+            red(jnp.sum(r1, axis=0, dtype=jnp.uint32))[None],
+        )
     return (
         red(jax.ops.segment_sum(r0, bj_ids, num_segments=nbc)),
         red(jax.ops.segment_sum(r1, bj_ids, num_segments=nbc)),
@@ -512,9 +576,11 @@ class _MatmulPlan:
     (block-col, giant), per-block-row baby unions, and group-aligned chunks
     stacked into per-device scan groups feeding _mac_scan."""
 
-    def __init__(self, cps: CryptoParams, cache, nmod: int, row_batch: int = 1):
+    def __init__(self, cps: CryptoParams, cache, nmod: int, row_batch: int = 1,
+                 dense: bool = False):
         self.nmod = nmod
         self.row_batch = row_batch
+        self.dense = dense
         self.d = cache[0][0].d
         nbr, nbc = len(cache), len(cache[0])
         self.nbr, self.nbc = nbr, nbc
@@ -586,6 +652,18 @@ class _MatmulPlan:
                     MM_CHUNK_BYTES
                     // (nmod * self.n * 4 * row_batch),
                 )
+                if dense:
+                    # one chunk per giant group (budget-split WITHIN a group
+                    # when needed): every chunk covers exactly one segment,
+                    # so _mac_scan_dense_b replaces the segment_sum with a
+                    # plain lazy sum
+                    for x in range(len(bounds) - 1):
+                        g0, g1 = bounds[x], bounds[x + 1]
+                        for k0 in range(g0, g1, budget):
+                            row_chunks.append(
+                                self._chunk(blk, bj, k0, min(k0 + budget, g1), bpos)
+                            )
+                    continue
                 start = 0
                 for x in range(len(bounds) - 1):
                     if (
@@ -606,6 +684,28 @@ class _MatmulPlan:
         self.k_pad = max(len(c["bidx"]) for c in all_chunks)
         self.nseg_pad = max(c["nseg"] for c in all_chunks)
         self.nb_pad = max((len(b) for b in self.babies if b), default=1)
+        if dense:
+            # chunks are single-segment by construction; lazy-sum sub-split
+            # over the (padded-to-multiple) k axis replaces seg2 bucketing.
+            # Padding entries index the all-zero hoisted-rotation row nb_pad
+            # (mat_mult_cached pads R to nb_pad+1 rows in dense mode).
+            self.nsub = -(-self.k_pad // self.max_lazy)
+            self.k_pad = self.nsub * (-(-self.k_pad // self.nsub))
+            for c in all_chunks:
+                assert c["nseg"] == 1, "dense chunk spans segments"
+                c.pop("pos_in_group")
+                c.pop("seg_local")
+                K = len(c["bidx"])
+                bidx = np.asarray(c["bidx"], np.int64)
+                if self.k_pad - K:
+                    bidx = np.concatenate(
+                        [bidx, np.full(self.k_pad - K, self.nb_pad, np.int64)]
+                    )
+                c["bidx"] = bidx.astype(np.int32)
+                c["seg2"] = None
+                c["sg_one"] = int(np.asarray(c.pop("seg_gidx"))[0])
+            self._groups = {}
+            return
         for c in all_chunks:
             K = len(c["bidx"])
             pos = c.pop("pos_in_group")
@@ -669,16 +769,23 @@ class _MatmulPlan:
         nchunks = len(cs)
         idxm = np.zeros((nchunks, self.k_pad), np.int32)
         bidxm = np.zeros((nchunks, self.k_pad), np.int32)
-        seg2m = np.zeros((nchunks, self.k_pad), np.int32)
-        sgm = np.zeros((nchunks, self.nseg_pad), np.int32)
+        if self.dense:
+            seg2m = np.zeros((nchunks, 1), np.int32)  # unused in dense mode
+            sgm = np.zeros((nchunks,), np.int32)
+        else:
+            seg2m = np.zeros((nchunks, self.k_pad), np.int32)
+            sgm = np.zeros((nchunks, self.nseg_pad), np.int32)
         for r, c in enumerate(cs):
             k0, k1 = c["k0"], c["k1"]
             idxm[r, : k1 - k0] = offs[id(c["blk"])] + np.arange(
                 k0, k1, dtype=np.int32
             )
             bidxm[r] = c["bidx"]
-            seg2m[r] = c["seg2"]
-            sgm[r] = c["seg_gidx"]
+            if self.dense:
+                sgm[r] = c["sg_one"]
+            else:
+                seg2m[r] = c["seg2"]
+                sgm[r] = c["seg_gidx"]
 
         if self.stream:
             cps, nmod = self._cps, self.nmod
@@ -790,11 +897,16 @@ class _MatmulPlan:
 _plan_cache: Dict[int, _MatmulPlan] = {}
 
 
-def _plan_for(cps, cache, nmod, row_batch: int = 1) -> _MatmulPlan:
+def _plan_for(cps, cache, nmod, row_batch: int = 1, dense: bool = False) -> _MatmulPlan:
     key = id(cache)
     plan = _plan_cache.get(key)
-    if plan is None or plan.nmod != nmod or plan.row_batch != row_batch:
-        plan = _MatmulPlan(cps, cache, nmod, row_batch)
+    if (
+        plan is None
+        or plan.nmod != nmod
+        or plan.row_batch != row_batch
+        or plan.dense != dense
+    ):
+        plan = _MatmulPlan(cps, cache, nmod, row_batch, dense=dense)
         _plan_cache.clear()  # hold at most a few plans
         _plan_cache[key] = plan
     return plan
@@ -844,7 +956,10 @@ def mat_mult_cached(
     m32 = ctx.m32[jnp.asarray(rows)]
     d = some.d
     multi = devices is not None and len(devices) > 1
-    plan = _plan_for(cps, cache, nmod, row_batch=(1 if multi else s))
+    plan = _plan_for(
+        cps, cache, nmod, row_batch=(1 if multi else s),
+        dense=(_mm_dense() and not multi),
+    )
     nseg_tot = len(plan.segments)
     groups = plan.scan_groups(devices if multi else None)
 
@@ -911,20 +1026,29 @@ def mat_mult_cached(
                 del R0nz, R1nz
             if timing:
                 _tick(f"hoisted_all[{bi}]", R0)
-            if R0.shape[0] < plan.nb_pad:
+            # dense mode appends one all-zero row at index nb_pad: padding
+            # entries of every chunk point there, so their MACs vanish
+            pad_to = plan.nb_pad + (1 if plan.dense else 0)
+            if R0.shape[0] < pad_to:
                 padr = jnp.zeros(
-                    (plan.nb_pad - R0.shape[0], s, nmod, ctx.n), jnp.uint32
+                    (pad_to - R0.shape[0], s, nmod, ctx.n), jnp.uint32
                 )
                 R0 = jnp.concatenate([R0, padr])
                 R1 = jnp.concatenate([R1, padr])
             del cts, C0s, C1s
             for g in groups[bi]:
                 gp = g["polys"]() if callable(g["polys"]) else g["polys"]
-                ACC0, ACC1 = _mac_scan_b(
-                    ACC0, ACC1, R0, R1, gp, g["idx"], g["bidx"],
-                    g["seg2"], g["sg"], q, mu, m32,
-                    nseg=plan.nseg_pad, nsub=plan.nsub,
-                )
+                if plan.dense:
+                    ACC0, ACC1 = _mac_scan_dense_b(
+                        ACC0, ACC1, R0, R1, gp, g["idx"], g["bidx"],
+                        g["sg"], q, mu, m32, nsub=plan.nsub,
+                    )
+                else:
+                    ACC0, ACC1 = _mac_scan_b(
+                        ACC0, ACC1, R0, R1, gp, g["idx"], g["bidx"],
+                        g["seg2"], g["sg"], q, mu, m32,
+                        nseg=plan.nseg_pad, nsub=plan.nsub,
+                    )
                 del gp  # streamed polys free before the next group builds
             del R0, R1
             if timing:

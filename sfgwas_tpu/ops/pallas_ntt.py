@@ -87,6 +87,100 @@ def _inv_kernel(n: int, x_ref, tw_ref, tws_ref, q_ref, ninv_ref, ninvs_ref, out_
     out_ref[:, :] = _mul_shoup(x, ninv_ref[:, :], ninvs_ref[:, :], q)
 
 
+def _fwd_kernel_b(n: int, x_ref, tw_ref, tws_ref, q_ref, out_ref):
+    """Batched forward kernel: x_ref [1, Bc, n] rows sharing ONE prime row's
+    twiddles (tw_ref [1, n]).  All log2(n) stages run VMEM-resident: one HBM
+    read + one write per poly, vs ~14 round trips for the staged jnp path
+    (2.2 Gcoeff/s measured at the PN14 moddown batch, BASELINE.md)."""
+    x = x_ref[0]
+    q = q_ref[0, 0]
+    Bc = x.shape[0]
+    m = 1
+    while m < n:
+        half = n // (2 * m)
+        xv = x.reshape(Bc, m, 2, half)
+        S = tw_ref[0, m : 2 * m].reshape(1, m, 1)
+        Ss = tws_ref[0, m : 2 * m].reshape(1, m, 1)
+        u = xv[:, :, 0, :]
+        v = _mul_shoup(xv[:, :, 1, :], S, Ss, q)
+        s = u + v
+        lo = jnp.where(s >= q, s - q, s)
+        hi = jnp.where(u >= v, u - v, u + q - v)
+        x = jnp.stack([lo, hi], axis=2).reshape(Bc, n)
+        m *= 2
+    out_ref[0] = x
+
+
+def _inv_kernel_b(n: int, x_ref, tw_ref, tws_ref, q_ref, ninv_ref, ninvs_ref, out_ref):
+    x = x_ref[0]
+    q = q_ref[0, 0]
+    Bc = x.shape[0]
+    m = n
+    while m > 1:
+        h = m // 2
+        xv = x.reshape(Bc, h, 2, n // m)
+        S = tw_ref[0, h : 2 * h].reshape(1, h, 1)
+        Ss = tws_ref[0, h : 2 * h].reshape(1, h, 1)
+        u = xv[:, :, 0, :]
+        v = xv[:, :, 1, :]
+        s = u + v
+        lo = jnp.where(s >= q, s - q, s)
+        diff = jnp.where(u >= v, u - v, u + q - v)
+        hi = _mul_shoup(diff, S, Ss, q)
+        x = jnp.stack([lo, hi], axis=2).reshape(Bc, n)
+        m = h
+    out_ref[0] = _mul_shoup(x, ninv_ref[0, 0], ninvs_ref[0, 0], q)
+
+
+_BLOCK_B = int(__import__("os").environ.get("SFGWAS_PALLAS_NTT_BLOCK", "16"))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def ntt_pallas_b(x, basis: "rns.RnsBasis", rows, inverse: bool = False,
+                 interpret: bool = False):
+    """Batched fused-VMEM NTT: x [L, B, n] (rns.ntt_b layout), grid over
+    (prime row, batch blocks); each grid cell transforms SFGWAS_PALLAS_NTT_BLOCK
+    polys against its row's twiddle tables."""
+    n = basis.n
+    L, Bn, _ = x.shape
+    t = rns._sel(basis, rows)
+    q = jnp.asarray(t["q"])  # [L, 1]
+    bb = max(1, min(_BLOCK_B, Bn))
+    pad = (-Bn) % bb
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((L, pad, n), x.dtype)], axis=1)
+    grid = (L, (Bn + pad) // bb)
+    xspec = pl.BlockSpec((1, bb, n), lambda l, b: (l, b, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, n), lambda l, b: (l, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, 1), lambda l, b: (l, 0), memory_space=pltpu.VMEM)
+    if not inverse:
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_b, n),
+            out_shape=jax.ShapeDtypeStruct((L, Bn + pad, n), jnp.uint32),
+            grid=grid,
+            in_specs=[xspec, tspec, tspec, cspec],
+            out_specs=xspec,
+            interpret=interpret,
+        )(x, jnp.asarray(t["psi"]), jnp.asarray(t["psi_s"]), q)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_inv_kernel_b, n),
+            out_shape=jax.ShapeDtypeStruct((L, Bn + pad, n), jnp.uint32),
+            grid=grid,
+            in_specs=[xspec, tspec, tspec, cspec, cspec, cspec],
+            out_specs=xspec,
+            interpret=interpret,
+        )(
+            x,
+            jnp.asarray(t["ipsi"]),
+            jnp.asarray(t["ipsi_s"]),
+            q,
+            jnp.asarray(t["ninv"]),
+            jnp.asarray(t["ninv_s"]),
+        )
+    return out[:, :Bn] if pad else out
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def ntt_pallas(x, basis: "rns.RnsBasis", rows, inverse: bool = False, interpret: bool = False):
     """Drop-in for rns.ntt using the fused Pallas kernel.  The whole [L, n]

@@ -309,9 +309,29 @@ def ntt(x, basis: RnsBasis, rows, inverse: bool = False):
     return _ntt_butterfly(x, basis, rows, inverse)
 
 
+_PALLAS_NTT: Optional[bool] = None
+
+
+def _use_pallas_ntt(n: int) -> bool:
+    """SFGWAS_PALLAS_NTT=1: fused-VMEM Pallas butterfly for batched NTTs on
+    accelerator backends (one HBM round trip instead of log2 N staged
+    passes).  Off by default until benched per deployment."""
+    global _PALLAS_NTT
+    if _PALLAS_NTT is None:
+        _PALLAS_NTT = (
+            os.environ.get("SFGWAS_PALLAS_NTT", "") not in ("", "0")
+            and jax.default_backend() != "cpu"
+        )
+    return _PALLAS_NTT and n >= 256
+
+
 def ntt_b(x, basis: RnsBasis, rows, inverse: bool = False):
     """Batched negacyclic NTT: x [L, B, N] with len(rows) == L; the batch
     axis shares each row's twiddles.  Same layout conventions as ntt()."""
+    if _use_pallas_ntt(basis.n):
+        from . import pallas_ntt as _pn
+
+        return _pn.ntt_pallas_b(x, basis, tuple(rows), inverse)
     if _use_ntt4(basis.n):
         from . import ntt4 as _n4
 

@@ -301,3 +301,43 @@ def test_streaming_matmult_rss_bounded_1m_snps(tmp_path):
     budget = 3 << 30
     print(f"1M-SNP streaming preprocess RSS delta: {delta/1e9:.2f} GB")
     assert delta < budget, delta
+
+
+def test_mac_dense_matches_segment_kernel(monkeypatch):
+    """The dense (giant-aligned, lazy-sum) MAC scan must be BIT-identical
+    to the segment_sum kernel it replaces: exact modular arithmetic, only
+    the reduction order within a giant group changes (associativity-safe)."""
+    rng = np.random.default_rng(29)
+    s = 2
+    n, m = 200, 300
+    Q = rng.normal(size=(s, n)) * 0.5
+    X = rng.integers(0, 3, size=(n, m)).astype(np.int8)
+
+    def fn(mpc):
+        cps = mhe.collective_init(mpc.net, PRESET, shifts_override=_shifts())
+        if mpc.pid == 0:
+            return None
+        nbr = (n + SLOTS - 1) // SLOTS
+        if mpc.pid == 1:
+            A = [[
+                B.encrypt_float_vector(cps, Q[i, b0 : b0 + SLOTS])[0]
+                for b0 in range(0, n, SLOTS)
+            ] for i in range(s)]
+        else:
+            A = [[None] * nbr for _ in range(s)]
+        A = [[mhe.broadcast_ciphertext(mpc.net, cps, A[i][j], 1)
+              for j in range(nbr)] for i in range(s)]
+        cache = MM.preprocess_matrix(cps, X)
+        monkeypatch.setenv("SFGWAS_MM_DENSE", "1")
+        dense = MM.mat_mult_cached(cps, A, cache)
+        monkeypatch.setenv("SFGWAS_MM_DENSE", "0")
+        seg = MM.mat_mult_cached(cps, A, cache)
+        return all(
+            np.array_equal(np.asarray(a.c0), np.asarray(b.c0))
+            and np.array_equal(np.asarray(a.c1), np.asarray(b.c1))
+            for ra, rb in zip(dense, seg)
+            for a, b in zip(ra, rb)
+        )
+
+    res = run_parties(3, fn)
+    assert res[1] is True and res[2] is True

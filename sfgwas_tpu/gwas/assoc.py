@@ -123,7 +123,15 @@ def get_association_stats(
     # survived from the run that wrote them (use_cached_keys restore); a
     # fresh keygen silently invalidates every stored ciphertext
     ct_cache_ok = bool(cps and cps.keys_from_cache)
-    qcomb_cache = f"{cache_prefix}_Qcomb.npz" if cache_prefix else None
+    # cache names carry the combined-Q column count: a skip-PCA run after a
+    # full-PCA run (or vice versa) in the same cache dir must MISS, not load
+    # products built against a different covariate basis (the per-block
+    # `out` rows are indexed by Q column position below)
+    ncov_n = cov.shape[1] if pid > 0 else int(cov)
+    qexp = ncov_n + (0 if cov_all_ones else 1) + (len(Qpc) if Qpc else 0)
+    qcomb_cache = (
+        f"{cache_prefix}_Qcomb.q{qexp}.npz" if cache_prefix else None
+    )
     # the combined-QR skip involves party 0's dealer rounds, so ALL parties
     # must take the same branch: hub ANDs the data parties' readiness bits
     # and broadcasts the decision (the reference reaches the same consensus
@@ -214,7 +222,7 @@ def get_association_stats(
         nb = len(geno_blocks)
         nahead = max(1, int(num_blocks_parallel))
         cache_files = [
-            f"{cache_prefix}_assoc_{b}.npz" if cache_prefix else None
+            f"{cache_prefix}_assoc_q{qexp}_{b}.npz" if cache_prefix else None
             for b in range(nb)
         ]
         hit = [

@@ -35,20 +35,29 @@ def num_ct(cps: CryptoParams, n: int) -> int:
     return 1 + (n - 1) // cps.slots
 
 
-def encode_float_vector(cps: CryptoParams, vals, nmod: Optional[int] = None) -> PlainVector:
+def encode_float_vector(
+    cps: CryptoParams, vals, nmod: Optional[int] = None,
+    scale: Optional[float] = None,
+) -> PlainVector:
+    """scale: encode at an explicit scale instead of the preset — used to
+    land fresh plaintexts on a drifted ciphertext chain's EXACT scale so
+    downstream add/sub need no tolerance (the phase-3 sxx assembly)."""
     ctx = cps.ctx
     nmod = nmod or ctx.nq
     vals = np.asarray(vals, dtype=np.float64)
     out = []
     for s in range(0, max(len(vals), 1), cps.slots):
-        out.append(ctx.encode(vals[s : s + cps.slots], nmod))
+        out.append(ctx.encode(vals[s : s + cps.slots], nmod, scale))
     return out
 
 
-def encrypt_float_vector(cps: CryptoParams, vals, nmod: Optional[int] = None) -> CipherVector:
+def encrypt_float_vector(
+    cps: CryptoParams, vals, nmod: Optional[int] = None,
+    scale: Optional[float] = None,
+) -> CipherVector:
     return [
         cps.ctx.encrypt(pt, cps.pk, cps.enc_rng)
-        for pt in encode_float_vector(cps, vals, nmod)
+        for pt in encode_float_vector(cps, vals, nmod, scale)
     ]
 
 

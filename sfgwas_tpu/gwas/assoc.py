@@ -292,10 +292,30 @@ def get_association_stats(
                 mpc.net, cps, B.encrypt_float_vector(cps, dsum)
             )
             sx2 = B.cmult_const(cps, sx2, sqrt_inv_n, rescale=True)
-            sxx = B.encrypt_float_vector(cps, dsq)
+            # encode the fresh dsq at EXACTLY the squared-term chain's scale
+            # (s^2 / top prime pair): the full-PCA chain runs ~3% off the
+            # preset, and the sub below requires equal scales — every party
+            # derives the same s_tt, so the aggregate also adds losslessly
+            terms = Bmat + [sx2]
+            p_ = cps.ctx.basis.primes
+
+            def _sq_scale(t):
+                return t.scale * t.scale / p_[t.nmod - 1] / p_[t.nmod - 2]
+
+            s_tt = _sq_scale(terms[0][0])
+            sxx = B.encrypt_float_vector(cps, dsq, scale=s_tt)
             if pid == mpc.hub_pid:
-                for term_vec in Bmat + [sx2]:
+                for term_vec in terms:
                     tt = B.cmult(cps, term_vec, term_vec)
+                    if abs(tt[0].scale / s_tt - 1) > 1e-9:
+                        # off-chain term (should not happen: all terms ride
+                        # the same bootstrap-reset level): exact retarget
+                        tt = [
+                            B.mask_trunc(
+                                cps, t, cps.slots, target_scale=s_tt
+                            )
+                            for t in tt
+                        ]
                     nm = min(sxx[0].nmod, tt[0].nmod)
                     sxx = [
                         cps.ctx.sub(cps.ctx.drop_to(a_, nm), cps.ctx.drop_to(b_, nm))

@@ -285,7 +285,13 @@ def net_cholqr_enc(
     # drifted companion columns (the PCA extraction chain runs ~10% off
     # preset) would then enter the Gram unreset (r5 full-PCA phase-3 crash)
     if pid > 0:
-        A = [[cps.ctx.drop_to(ct, qr_band) for ct in col] for col in A]
+        # clamp DOWN only: columns already below the band (e.g. Qpc from the
+        # PCA extraction chain) stay put — the in-band refresh below raises
+        # them; drop_to cannot (full-PCA phase-3 regression, r5 run 5)
+        A = [
+            [cps.ctx.drop_to(ct, min(qr_band, ct.nmod)) for ct in col]
+            for col in A
+        ]
 
     for p in range(passes):
         log(f"pid{pid} cholQR pass {p + 1}/{passes} ({ncols} cols)")

@@ -185,6 +185,28 @@ def distributed_pca(
     from .qrfact import net_qr
     from . import utilities as U
 
+    # SFGWAS_PCA_PROBE=1: joint-decrypt magnitude probes at phase-2 stage
+    # boundaries (identical-across-parties cts only) — the in-vivo bisect
+    # tool for value-level corruption that standalone component probes miss
+    import os as _os
+
+    _probe_on = bool(_os.environ.get("SFGWAS_PCA_PROBE")) and pid > 0
+
+    def _probe(tag, cv):
+        if not _probe_on or cv is None or cv[0] is None:
+            return
+        vals = mhe.collective_decrypt_many(mpc.net, cps, cv, -1)
+        g = np.concatenate([np.asarray(cps.ctx.decode(p)) for p in vals])
+        log(
+            f"pid{pid} PROBE {tag}: |max|={np.abs(g).max():.3e} "
+            f"nmod={cv[0].nmod} scale=2^{math.log2(cv[0].scale):.2f}"
+        )
+
+    _probe("x_stdinv", x_stdinv)
+    _probe("x_mean", x_mean)
+    if pid > 0:
+        _probe("Q_sketch[0]", Q[0])
+
     # restart / skip support (restart_pca_from_iter, skip_power_iter,
     # gwas/pca.go:244-331, 382-394): per-iteration decrypted dumps are the
     # resume artifacts (the reference's QmulB_%d.txt; TODO acknowledged there
@@ -220,7 +242,19 @@ def distributed_pca(
             )
         else:
             Qloc = [None] * kp
+        if _probe_on and pid > 0:
+            for p in range(1, mpc.nparty):
+                U.save_matrix_collective(
+                    mpc.net, cps, Qloc, nrows_all[p], p,
+                    f"{cache_prefix}_probe_qloc_init.txt",
+                )
         Q = net_qr(cps, mpc, Qloc, nrows_all, method=qr_method)
+        if _probe_on and pid > 0:
+            for p in range(1, mpc.nparty):
+                U.save_matrix_collective(
+                    mpc.net, cps, Q, nrows_all[p], p,
+                    f"{cache_prefix}_probe_q_postqr.txt",
+                )
 
     # ---- power iterations (gwas/pca.go:339-371)
     for it in range(it_start, num_power_iters):

@@ -126,6 +126,13 @@ def distributed_pca(
         Q = mhe.aggregate_cmat(mpc.net, cps, Qloc)
         bucket_count = mhe.aggregate_int_vec(mpc.net, bucket_count)
         pos_count = mhe.aggregate_int_vec(mpc.net, pos_count)
+        if _os.environ.get("SFGWAS_PCA_PROBE"):
+            vals = mhe.collective_decrypt_many(mpc.net, cps, Q[0], -1)
+            g = np.concatenate([np.asarray(cps.ctx.decode(p)) for p in vals])
+            log(
+                f"pid{pid} PROBE Q_agg[0]: |max|={np.abs(g).max():.3e} "
+                f"nmod={Q[0][0].nmod}"
+            )
 
     # mean / var / stdinv in SS (local counts are shares)
     inv_n = 1.0 / tot_ind
@@ -167,10 +174,22 @@ def distributed_pca(
 
     # ---- initial Q scaling (gwas/pca.go:248-284)
     if pid > 0:
+        _pp = _os.environ.get("SFGWAS_PCA_PROBE")
+
+        def _pstep(tag, cv):
+            if not _pp:
+                return
+            vals = mhe.collective_decrypt_many(mpc.net, cps, cv, -1)
+            g = np.concatenate([np.asarray(cps.ctx.decode(p)) for p in vals])
+            log(f"pid{pid} PROBE {tag}: |max|={np.abs(g).max():.3e}")
+
         for b in range(kp):
             inv_cnt = 1.0 / math.sqrt(max(bucket_count[b], 1))
             mean_weight = int(2 * pos_count[b] - bucket_count[b])
             mw = B.cmult_const(cps, x_mean, -float(mean_weight), rescale=True)
+            if b == 0:
+                log(f"pid{pid} PROBE consts: mw={mean_weight} cnt={bucket_count[b]}")
+                _pstep("b0 mw", mw)
             Q[b] = [
                 cps.ctx.add(
                     cps.ctx.drop_to(q, min(q.nmod, m.nmod)),
@@ -178,8 +197,23 @@ def distributed_pca(
                 )
                 for q, m in zip(Q[b], mw)
             ]
+            if b == 0:
+                _pstep("b0 after add", Q[b])
+                if _pp and pid == 1 and cache_prefix:
+                    np.savez(
+                        f"{cache_prefix}_probe_addct.npz",
+                        c0=np.asarray(Q[b][0].c0),
+                        c1=np.asarray(Q[b][0].c1),
+                        nmod=Q[b][0].nmod,
+                        scale=Q[b][0].scale,
+                        inv_cnt=inv_cnt,
+                    )
             Q[b] = B.cmult_const(cps, Q[b], inv_cnt, rescale=True)
+            if b == 0:
+                _pstep("b0 after inv_cnt", Q[b])
             Q[b] = B.cmult(cps, Q[b], x_stdinv)
+            if b == 0:
+                _pstep("b0 after cmult stdinv", Q[b])
         Q = mhe.bootstrap_mat(mpc.net, cps, Q, -1)
 
     from .qrfact import net_qr
